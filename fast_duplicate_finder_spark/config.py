@@ -1,0 +1,69 @@
+"""Pipeline configuration.
+
+Mirrors the reference's ``Phase1Config{CpuCores, FilterByFilename}``
+(/root/reference/backend/pkg/fastdupefinder/config.go:4-13) and the
+partial-hash constants (helpers/calculate_hash.go:13-19), extended with the
+shingle / MinHash / LSH / SimHash / span parameters of the near-dup
+generalization. A config fingerprint keys phase checkpoints so a resumed run
+never mixes results computed under different parameters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- exact cascade (reference parity) -----------------------------------
+    # calculate_hash.go:13-19: PartialHashSize=4096; <1MiB -> prefix only;
+    # 1-10MiB -> prefix+suffix; >=10MiB -> prefix+middle+suffix.
+    # We operate on characters of the assembled conversation document.
+    partial_hash_size: int = 4096
+    small_threshold: int = 1 << 20       # chars; below: prefix slice only
+    large_threshold: int = 10 << 20      # chars; above: prefix+middle+suffix
+    filter_by_turns: bool = True         # phase-1 key includes turn count
+                                         # (analogue of FilterByFilename,
+                                         # config.go:11, phase_1.go:100-118)
+
+    # --- near-duplicate cascade ---------------------------------------------
+    shingle_k: int = 3                   # word-shingle width
+    minhash_perms: int = 128             # signature length
+    lsh_bands: int = 32                  # bands (perms = bands * rows)
+    lsh_rows: int = 4                    # rows per band
+    jaccard_tau: float = 0.7             # verified near-dup threshold
+    minhash_seed: int = 42
+
+    simhash_bits: int = 64
+    simhash_hamming: int = 3             # max hamming distance for fuzz match
+
+    span_min_tokens: int = 40            # shared-span (suffix-array) pass
+    span_max_group: int = 64             # cap on group size fed to the
+                                         # quadratic span kernel (counter logs
+                                         # overflow, never silent)
+
+    # --- skew / partitioning -------------------------------------------------
+    band_salt_buckets: int = 8           # salting for hot LSH bands
+    max_band_bucket: int = 2000          # cap pairs per (band,hash) bucket;
+                                         # overflow counted, not silent
+    shuffle_partitions: int = 32
+
+    # --- group (folder-analogue) dedup ---------------------------------------
+    group_sep: str = "/"                 # conv_id path separator
+
+    # --- misc -----------------------------------------------------------------
+    seed: int = 42
+
+    def fingerprint(self) -> str:
+        """Stable hash of all parameters — keys phase checkpoints."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    @property
+    def lsh_perms_used(self) -> int:
+        return self.lsh_bands * self.lsh_rows
+
+
+DEFAULT_CONFIG = PipelineConfig()
