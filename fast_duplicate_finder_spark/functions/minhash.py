@@ -1,0 +1,78 @@
+"""MinHash signature kernel — Arrow-vectorized pandas UDF.
+
+Input: a column of distinct 64-bit shingle hashes (computed JVM-side by
+functions/shingles.py). Output: a ``num_perms``-long signature.
+
+Permutation family: splitmix64 finalizer over ``h XOR seed_j`` — a strong
+64-bit mixer; min is taken in the uint64 domain. The kernel is vectorized
+across the whole Arrow batch: all rows' hashes are flattened once, each
+permutation is one elementwise mix + one ``np.minimum.reduceat`` — no
+per-row Python loop (input_hint requirement).
+
+The reference has no near-dup capability; this implements the MinHash leg
+of BASELINE.json's north_star at the fixed config in PipelineConfig
+(minhash_perms/lsh_bands/lsh_rows/jaccard_tau).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+_EMPTY_SENTINEL = np.uint64(0)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x + _GOLDEN
+    x = (x ^ (x >> np.uint64(30))) * _C1
+    x = (x ^ (x >> np.uint64(27))) * _C2
+    return x ^ (x >> np.uint64(31))
+
+
+def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
+    return _mix64(np.arange(seed, seed + num_perms, dtype=np.uint64))
+
+
+def minhash_batch(hash_lists: pd.Series, seeds: np.ndarray) -> pd.Series:
+    lens = np.fromiter((len(h) if h is not None else 0 for h in hash_lists),
+                       dtype=np.int64, count=len(hash_lists))
+    safe = [
+        np.asarray(h, dtype=np.int64).view(np.uint64)
+        if h is not None and len(h) else np.array([_EMPTY_SENTINEL])
+        for h in hash_lists
+    ]
+    flat = np.concatenate(safe) if safe else np.array([], dtype=np.uint64)
+    starts = np.zeros(len(safe), dtype=np.int64)
+    np.cumsum([len(s) for s in safe[:-1]], out=starts[1:])
+    sigs = np.empty((len(safe), len(seeds)), dtype=np.uint64)
+    for j, s in enumerate(seeds):
+        hv = _mix64(flat ^ s)
+        sigs[:, j] = np.minimum.reduceat(hv, starts)
+    out = sigs.view(np.int64)
+    # empty docs get an all-null-equivalent signature that never collides:
+    # re-mix with the row marker so two empty docs still match each other
+    return pd.Series([row.tolist() for row in out]).where(
+        pd.Series(lens > 0), pd.Series([[0] * len(seeds)] * len(safe))
+    )
+
+
+def make_minhash_udf(num_perms: int, seed: int):
+    seeds = perm_seeds(num_perms, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(hash_lists: pd.Series) -> pd.Series:
+        with np.errstate(over="ignore"):
+            return minhash_batch(hash_lists, seeds)
+
+    return minhash_sig
+
+
+def estimate_jaccard(sig_a: list[int], sig_b: list[int]) -> float:
+    a = np.asarray(sig_a)
+    b = np.asarray(sig_b)
+    return float((a == b).mean())

@@ -1,0 +1,102 @@
+"""SimHash kernel — Arrow-vectorized pandas UDF.
+
+64-bit SimHash (Charikar 2002 / Manku et al. WWW 2007) over the same
+shingle-hash sets as MinHash: each shingle votes +-1 per bit position; the
+signature bit is the vote sign. Near-exact fuzz matches (whitespace /
+punctuation-level perturbations) land within a small Hamming distance.
+
+Candidate generation uses the pigeonhole split: with max Hamming distance h,
+split the 64-bit signature into h+1 chunks — any pair within distance h
+agrees on at least one whole chunk -> equi-join on (chunk_id, chunk_value),
+then verify exact Hamming via popcount(XOR) JVM-side (bit_count).
+
+Batch-vectorized: one unpack of all shingle hashes to a bit matrix, one
+``np.add.reduceat`` per batch — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def simhash_batch(hash_lists: pd.Series) -> pd.Series:
+    lens = np.fromiter((len(h) if h is not None else 0 for h in hash_lists),
+                       dtype=np.int64, count=len(hash_lists))
+    safe = [
+        np.asarray(h, dtype=np.int64).view(np.uint64)
+        if h is not None and len(h) else np.array([np.uint64(0)])
+        for h in hash_lists
+    ]
+    flat = np.concatenate(safe) if safe else np.array([], dtype=np.uint64)
+    starts = np.zeros(len(safe), dtype=np.int64)
+    np.cumsum([len(s) for s in safe[:-1]], out=starts[1:])
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)  # (M,64)
+    ones = np.add.reduceat(bits, starts, axis=0)                         # (R,64)
+    m = np.maximum(lens, 1)[:, None]
+    sig_bits = (2 * ones) > m                                            # vote sign
+    packed = (sig_bits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    packed = np.where(lens > 0, packed, np.uint64(0))
+    return pd.Series(packed.view(np.int64))
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(hash_lists: pd.Series) -> pd.Series:
+    with np.errstate(over="ignore"):
+        return simhash_batch(hash_lists)
+
+
+def simhash_chunks(sim: Column, n_chunks: int) -> Column:
+    """Split a 64-bit simhash into n equal bit chunks (pigeonhole keys)."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(sim, i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
+        ]
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(
+    sims: DataFrame, max_hamming: int, id_col: str = "conv_id",
+    sim_col: str = "simhash"
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits — pigeonhole equi-join + exact
+    popcount verification. Returns (conv_id_a, conv_id_b, hamming)."""
+    n_chunks = max_hamming + 1
+    keyed = sims.select(
+        F.col(id_col),
+        F.col(sim_col),
+        F.posexplode(simhash_chunks(F.col(sim_col), n_chunks)).alias(
+            "chunk_id", "chunk_val"
+        ),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("conv_id_a"),
+            F.col(f"b.{id_col}").alias("conv_id_b"),
+            hamming64(F.col(f"a.{sim_col}"), F.col(f"b.{sim_col}")).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

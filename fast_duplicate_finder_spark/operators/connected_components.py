@@ -1,0 +1,69 @@
+"""Connected components on a pair DataFrame — iterative min-label propagation.
+
+Needed to turn verified near-duplicate *pairs* into duplicate *clusters*
+(the reference never needs this: exact hashing partitions transitively for
+free; near-dup similarity does not). No GraphFrames dependency — pure
+DataFrame ops (hash-to-min label propagation; cf. BTS, ICDE 2024 in
+PAPERS.md, and the classic large-star/small-star family).
+
+Scale notes:
+* each iteration = one join + one agg (2 shuffles); convergence is
+  O(cluster diameter) iterations — near-dup clusters are shallow (most
+  pairs share a hub), so <10 iterations in practice;
+* ``localCheckpoint`` truncates lineage per iteration, otherwise the plan
+  grows exponentially and the driver OOMs long before the data does;
+* labels are the *min conv_id string* so the final cluster id convention
+  matches the exact cascade (deterministic, report-sortable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "conv_id_a",
+    dst: str = "conv_id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """``pairs`` -> ``(conv_id, component)`` for every node in any pair.
+
+    ``component`` = lexicographic min conv_id reachable via pair edges.
+    """
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("conv_id"))
+        .distinct()
+        .withColumn("label", F.col("conv_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.b == labels.conv_id, "inner")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.conv_id == nbr.a, "left")
+            .select(
+                "conv_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+
+    return labels.select("conv_id", F.col("label").alias("component"))

@@ -8,8 +8,15 @@ below (AQE, skew join, Arrow) is exactly what we would ship to a 1000-executor
 from __future__ import annotations
 
 import os
+import pathlib
 
 from pyspark.sql import SparkSession
+
+# Repo root (parent of the package dir) — executors' Python workers must be
+# able to import this package to deserialize pandas-UDF closures. On a real
+# cluster this is `spark-submit --py-files fdf.zip`; in local mode we
+# propagate PYTHONPATH to the worker processes.
+_PKG_ROOT = str(pathlib.Path(__file__).resolve().parent.parent)
 
 
 def get_spark(
@@ -22,6 +29,11 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cores), 8)
+    py_path = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{py_path}" if py_path else _PKG_ROOT
+        )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

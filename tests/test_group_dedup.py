@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fast_duplicate_finder_spark.config import PipelineConfig
+from fast_duplicate_finder_spark.corpus import TRANSCRIPT_SCHEMA, generate_grouped_transcripts
+from fast_duplicate_finder_spark.operators.exact_cascade import run_exact_cascade
+from fast_duplicate_finder_spark.operators.group_dedup import run_group_dedup
+from fast_duplicate_finder_spark.sources.transcripts import assemble_conversations
+
+CFG = PipelineConfig()
+
+
+def _conv_hashes(spark, transcripts):
+    """(conv_id, fhash, is_dup) for ALL convs + exact file clusters."""
+    docs = assemble_conversations(transcripts)
+    hashed = docs.select("conv_id", F.xxhash64("doc").alias("fhash"))
+    clusters = run_exact_cascade(transcripts, CFG)["clusters"]
+    dup_ids = clusters.select("conv_id").distinct()
+    conv_hashes = hashed.join(
+        dup_ids.withColumn("is_dup", F.lit(True)), "conv_id", "left"
+    ).fillna({"is_dup": False})
+    return conv_hashes, clusters
+
+
+def test_hand_fixture_group_semantics(spark):
+    ts = dt.datetime(2020, 1, 1)
+    mk = lambda cid, text: (cid, 0, "user", text, "", ts)
+    rows = [
+        # flat dup folder pair: A and B identical member-by-member
+        mk("A/c0", "alpha"), mk("A/c1", "beta"),
+        mk("B/c0", "alpha"), mk("B/c1", "beta"),
+        # C duplicates A's content but under different member names ->
+        # different items (F:name:hash) -> NOT a folder dup of A
+        mk("C/x0", "alpha"), mk("C/x1", "beta"),
+        # nested: N1 and N2 with identical subfolders
+        mk("N1/s/a", "n-one"), mk("N1/s/b", "n-two"), mk("N1/top", "n-top"),
+        mk("N2/s/a", "n-one"), mk("N2/s/b", "n-two"), mk("N2/top", "n-top"),
+        # unique member short-circuit: U1/U2 identical except U2/u1 unique
+        mk("U1/u0", "u-same"), mk("U1/u1", "u-mine"),
+        mk("U2/u0", "u-same"), mk("U2/u1", "u-theirs-unique"),
+        # flat conv without folder
+        mk("solo", "alpha"),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    conv_hashes, clusters = _conv_hashes(spark, df)
+    res = run_group_dedup(conv_hashes, clusters, CFG)
+
+    dup_folders = {r["folder"] for r in res["dup_folders"].collect()}
+    # A==B (same names+content); C excluded (names differ); N1==N2 and
+    # N1/s==N2/s; U1/U2 excluded (unique member)
+    assert dup_folders == {"A", "B", "N1", "N2", "N1/s", "N2/s"}
+
+    top = {r["folder"]: r["cluster_id"] for r in res["top_folders"].collect()}
+    # nested N1/s,N2/s suppressed; top-level survive
+    assert set(top) == {"A", "B", "N1", "N2"}
+    assert top["A"] == top["B"] == "A"
+    assert top["N1"] == top["N2"] == "N1"
+
+    kept = {r["conv_id"] for r in res["file_clusters_filtered"].collect()}
+    # members of dup folders suppressed from the file-level report;
+    # C's members are dups of A/B members (content equal) and C is not a
+    # dup folder -> kept; U's shared member kept; 'solo' matches alpha -> kept
+    assert kept == {"C/x0", "C/x1", "U1/u0", "U2/u0", "solo"}
+
+
+def test_grouped_corpus_planted_expectations(spark):
+    df = generate_grouped_transcripts(spark, n_groups=12, convs_per_group=4)
+    conv_hashes, clusters = _conv_hashes(spark, df)
+    res = run_group_dedup(conv_hashes, clusters, CFG)
+
+    top = {r["folder"]: r["cluster_id"] for r in res["top_folders"].collect()}
+    # scenario 0: grp0==grp1; scenario 2 (nested): grp2==grp3;
+    # scenario 4 (unique member): not clustered; groups >=6 unique
+    assert top == {"grp0": "grp0", "grp1": "grp0", "grp2": "grp2", "grp3": "grp2"}
+
+    # nested subfolders were detected as dups but suppressed
+    all_dup = {r["folder"] for r in res["dup_folders"].collect()}
+    assert any(f.startswith("grp2/sub") for f in all_dup)
+    assert not any(f.startswith("grp2/sub") for f in top)
+
+    # unique-member pair grp4/grp5: shared members remain file-level dups
+    kept = {r["conv_id"] for r in res["file_clusters_filtered"].collect()}
+    assert any(c.startswith("grp4/") for c in kept)
+    assert any(c.startswith("grp5/") for c in kept)
+    assert not any(c.startswith("grp0/") or c.startswith("grp2/") for c in kept)
