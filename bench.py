@@ -1,0 +1,172 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "turns_per_sec": ...}
+
+``--scaling`` mode: run the full transcript dedup pipeline on the SAME
+generated corpus at local[8] and local[32] (the sandbox proxy for N vs 4N
+executors, BASELINE.md) and write BENCH/BASELINE.md with throughput at both
+plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "exact_dup_clusters",
+    "transcript_assembly_clusters",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "winnow_span_candidates",
+    "connected_components_exact",
+    "group_signature_dups",
+    "embedding_ann_lsh",
+    "events_sessionize",
+    "tpch_q1",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _count_turns(spark, sf_dir: str) -> int:
+    """Corpus size proxy for turns/sec: total derived 10-word turns of the
+    planted dup corpus (what transcript_assembly_clusters processes)."""
+    from pyspark.sql import functions as F
+    from fast_duplicate_finder_spark.queries import dup_corpus
+
+    return (
+        dup_corpus(spark, sf_dir)
+        .select(F.ceil(F.size(F.split("text", " ")) / 10).alias("nt"))
+        .agg(F.sum("nt"))
+        .collect()[0][0]
+    )
+
+
+def run_headline() -> None:
+    from fast_duplicate_finder_spark.queries import QUERIES
+    from fast_duplicate_finder_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    # warm the JVM/Arrow paths once so per-query numbers measure the plan,
+    # not first-call initialization
+    QUERIES["exact_dup_clusters"](spark, SF_DIR).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    turns = _count_turns(spark, SF_DIR)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": _sf_of(SF_DIR),
+                "corpus_turns": turns,
+                "turns_per_sec": round(turns / total, 1) if total else None,
+            }
+        )
+    )
+
+
+def _pipeline_run(cores: int, corpus_path: str, ckpt_base: str) -> dict:
+    """One full dedup-pipeline run at a given parallelism; returns timing."""
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.plans.pipeline import run_pipeline
+    from fast_duplicate_finder_spark.session import get_spark
+
+    ckpt = os.path.join(ckpt_base, f"cores{cores}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark = get_spark(f"bench-scale-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    transcripts = spark.read.parquet(corpus_path)
+    n_turns = transcripts.count()
+    t0 = time.perf_counter()
+    rep = run_pipeline(
+        spark, transcripts, PipelineConfig(), ckpt, resume=False
+    )
+    dt = time.perf_counter() - t0
+    out = {
+        "cores": cores,
+        "seconds": round(dt, 2),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / dt, 1),
+        "summary": rep.summary,
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(n_convs: int = 30000) -> None:
+    from fast_duplicate_finder_spark.corpus import generate_transcripts_distributed
+    from fast_duplicate_finder_spark.session import get_spark
+
+    base = "/tmp/fdf_bench"
+    corpus_path = os.path.join(base, f"corpus_{n_convs}")
+    if not os.path.exists(corpus_path):
+        spark = get_spark("bench-gen", cores=CPUS)
+        generate_transcripts_distributed(spark, n_convs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+        spark.stop()
+
+    lo = _pipeline_run(8, corpus_path, base)
+    hi = _pipeline_run(32, corpus_path, base)
+    eff = round(hi["turns_per_sec"] / (4 * lo["turns_per_sec"]), 3)
+    result = {"local8": lo, "local32": hi, "scaling_efficiency_8_to_32": eff}
+    print(json.dumps(result))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — measured numbers\n\n"
+            "Full transcript dedup pipeline (assemble -> exact cascade -> "
+            "group dedup -> MinHash/LSH + SimHash + span -> CC -> report) on "
+            f"a deterministic synthetic corpus of {n_convs} conversations "
+            f"({lo['turns']} turns), identical input at both parallelism "
+            "levels — the sandbox proxy for N vs 4N executors "
+            "(BASELINE.md scaling row).\n\n"
+            "| config | seconds | turns/sec |\n|---|---|---|\n"
+            f"| local[8] | {lo['seconds']} | {lo['turns_per_sec']} |\n"
+            f"| local[32] | {hi['seconds']} | {hi['turns_per_sec']} |\n\n"
+            f"**Scaling efficiency 8 -> 32 threads: {eff}** "
+            "(target >= 0.8 would be ideal-linear; local-mode threads share "
+            "one JVM heap + page cache, so this is a conservative lower "
+            "bound for separate-executor scaling).\n\n"
+            f"Pipeline summary at local[32]: `{hi['summary']}`\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_headline()

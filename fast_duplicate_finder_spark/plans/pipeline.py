@@ -1,0 +1,212 @@
+"""The end-to-end pipeline — all phases, checkpointed, resumable.
+
+Query lifecycle (SURVEY.md §3, mirroring the three reference entry points
+converging on run_finder.go:23-85):
+
+    run_pipeline(spark, transcripts, cfg, checkpoint_dir)
+      p1_prefilter      size/turn-count groups >= 2       (phase_1.go)
+      p2_partial        (size, partial-hash) groups >= 2  (phase_2.go)
+      p3_exact          full-hash exact clusters          (phase_3.go)
+      p4_group_sigs     Merkle folder signatures          (phase_4.go)
+      p5_groups         nested suppression + file filter  (phase_5.go)
+      p6_features       shingle/k-gram features           (north_star)
+      p7_pairs          minhash/simhash/span/exact pairs  (north_star)
+      p8_clusters       connected components              (north_star)
+      report            summary + metrics
+
+Each phase is one job writing one checkpoint table; a rerun with the same
+config fingerprint skips completed phases (kill-after-phase-k resumability,
+BASELINE.md). The returned Report object holds DataFrames (lazy) + the
+driver-side summary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fast_duplicate_finder_spark.config import PipelineConfig
+from fast_duplicate_finder_spark.operators.exact_cascade import (
+    exact_clusters,
+    full_hash_stage,
+    partial_hash_stage,
+    prefilter,
+)
+from fast_duplicate_finder_spark.operators.group_dedup import (
+    duplicate_folders,
+    folder_clusters,
+    folder_signatures,
+    suppress_files_in_dup_folders,
+    suppress_nested,
+)
+from fast_duplicate_finder_spark.operators.neardup import (
+    exact_pairs_from_clusters,
+    minhash_pairs,
+    shingle_features,
+    simhash_pairs,
+    span_pairs,
+)
+from fast_duplicate_finder_spark.operators.connected_components import (
+    connected_components,
+)
+from fast_duplicate_finder_spark.plans import report as report_mod
+from fast_duplicate_finder_spark.sources.transcripts import (
+    assemble_conversations,
+    conv_stats,
+)
+from fast_duplicate_finder_spark.storage import CheckpointStore
+
+
+@dataclass
+class Report:
+    summary: dict
+    exact_clusters: DataFrame
+    top_folders: DataFrame
+    file_clusters_filtered: DataFrame
+    near_pairs: DataFrame
+    near_clusters: DataFrame
+    metrics: list[dict]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    checkpoint_dir: str,
+    resume: bool = True,
+    with_near_dup: bool = True,
+    with_groups: bool = True,
+) -> Report:
+    store = CheckpointStore(spark, checkpoint_dir, cfg.fingerprint())
+
+    stats = store.get_or_compute(
+        "p0_stats", lambda: conv_stats(transcripts), ["input"], resume
+    )
+    p1 = store.get_or_compute(
+        "p1_prefilter", lambda: prefilter(stats, cfg), ["p0_stats"], resume
+    )
+    docs = store.get_or_compute(
+        "p1_docs",
+        lambda: assemble_conversations(transcripts, only_convs=p1),
+        ["input", "p1_prefilter"],
+        resume,
+    )
+    p2 = store.get_or_compute(
+        "p2_partial",
+        lambda: partial_hash_stage(docs, cfg).select(
+            "conv_id", "doc", "size", "n_turns"
+        ),
+        ["p1_docs"],
+        resume,
+    )
+    p3 = store.get_or_compute(
+        "p3_exact",
+        lambda: exact_clusters(full_hash_stage(p2)),
+        ["p2_partial"],
+        resume,
+    )
+
+    if with_groups:
+        conv_hashes = stats.select("conv_id").join(
+            p3.select("conv_id", "fhash").withColumn("is_dup", F.lit(True)),
+            "conv_id",
+            "left",
+        ).fillna({"is_dup": False})
+        sigs = store.get_or_compute(
+            "p4_group_sigs",
+            lambda: folder_signatures(conv_hashes, cfg),
+            ["p0_stats", "p3_exact"],
+            resume,
+        )
+        dups = duplicate_folders(sigs)
+        top = store.get_or_compute(
+            "p5_groups",
+            lambda: folder_clusters(suppress_nested(dups)),
+            ["p4_group_sigs"],
+            resume,
+        )
+        files_kept = store.get_or_compute(
+            "p5_files_filtered",
+            lambda: suppress_files_in_dup_folders(p3, dups),
+            ["p3_exact", "p4_group_sigs"],
+            resume,
+        )
+    else:
+        top = spark.createDataFrame(
+            [], "folder string, sig long, cluster_id string, cluster_size long"
+        )
+        files_kept = p3
+
+    if with_near_dup:
+        # features are recomputed per near-dup phase group (cheap JVM
+        # expressions) but docs come from the p1_docs checkpoint.
+        # Near-dup legs consider ALL assembled docs, not only exact-cascade
+        # survivors: near-dups differ in size, so assemble everything here.
+        all_docs = store.get_or_compute(
+            "p6_all_docs",
+            lambda: assemble_conversations(transcripts),
+            ["input"],
+            resume,
+        )
+        features = store.get_or_compute(
+            "p6_features",
+            lambda: shingle_features(all_docs, cfg),
+            ["p6_all_docs"],
+            resume,
+        )
+
+        def _pairs() -> DataFrame:
+            mh, mh_ovf = minhash_pairs(features, cfg)
+            sh = simhash_pairs(features, cfg)
+            sp, sp_ovf = span_pairs(features, cfg)
+            tagged = (
+                mh.select(
+                    "conv_id_a", "conv_id_b", F.lit("minhash").alias("kind")
+                )
+                .union(sh.select("conv_id_a", "conv_id_b", F.lit("simhash")))
+                .union(sp.select("conv_id_a", "conv_id_b", F.lit("span")))
+                .union(
+                    exact_pairs_from_clusters(p3).select(
+                        "conv_id_a", "conv_id_b", F.lit("exact")
+                    )
+                )
+            )
+            n_ovf = mh_ovf.count() + sp_ovf.count()
+            store.metrics.append({"phase": "p7_pairs", "overflow_buckets": n_ovf})
+            return tagged
+
+        pairs = store.get_or_compute(
+            "p7_pairs", _pairs, ["p6_features", "p3_exact"], resume
+        )
+        clusters = store.get_or_compute(
+            "p8_clusters",
+            lambda: connected_components(
+                pairs.select("conv_id_a", "conv_id_b").distinct()
+            ),
+            ["p7_pairs"],
+            resume,
+        )
+    else:
+        pairs = spark.createDataFrame(
+            [], "conv_id_a string, conv_id_b string, kind string"
+        )
+        clusters = spark.createDataFrame([], "conv_id string, component string")
+
+    summary_df = store.get_or_compute(
+        "report_summary",
+        lambda: report_mod.summarize(p3, top, clusters),
+        ["p3_exact", "p5_groups", "p8_clusters"],
+        resume,
+    )
+    summary = {k: v for k, v in summary_df.collect()[0].asDict().items()}
+    return Report(
+        summary=summary,
+        exact_clusters=p3,
+        top_folders=top,
+        file_clusters_filtered=files_kept,
+        near_pairs=pairs,
+        near_clusters=clusters,
+        metrics=store.metrics,
+    )

@@ -1,0 +1,129 @@
+"""Report generation — the reference's ReportOutput re-expressed.
+
+Parity targets (types/report_types/report_types.go:7-35,
+helpers/generate_report.go):
+* Summary{fileSets, folderSets, wastedSpaceBytes} — wasted space is
+  sum(size * (n-1)) per duplicate set (generate_report.go:45-77); our
+  "bytes" are characters of assembled conversations (documented).
+* FileDuplicates/FolderDuplicates sorted deterministically by hash /
+  signature (generate_report.go:75,101) — golden tests depend on it.
+* Text sink "Set N (...): size, wasted, paths" (helpers/output/
+  stringify.go:13-57) and JSON sink (:60-70) — driver-side on SMALL
+  outputs only: at 10^12 scale the full member lists stay in tables;
+  the collected report is capped.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fast_duplicate_finder_spark.functions.hashing import hash_hex
+
+
+def summarize(
+    exact_clusters: DataFrame,
+    top_folders: DataFrame | None,
+    near_clusters: DataFrame | None,
+) -> DataFrame:
+    """One-row summary table (file_sets, folder_sets, near_dup_clusters,
+    wasted_space_chars)."""
+    per_set = (
+        exact_clusters.groupBy("cluster_id")
+        .agg(F.first("size").alias("size"), F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("file_sets"),
+            F.coalesce(
+                F.sum(F.col("size") * (F.col("n") - 1)), F.lit(0)
+            ).alias("wasted_space_chars"),
+        )
+    )
+    folder_sets = (
+        top_folders.select("cluster_id").distinct().count()
+        if top_folders is not None
+        else 0
+    )
+    near_sets = (
+        near_clusters.select("component").distinct().count()
+        if near_clusters is not None
+        else 0
+    )
+    return per_set.select(
+        "file_sets",
+        F.lit(folder_sets).cast("long").alias("folder_sets"),
+        F.lit(near_sets).cast("long").alias("near_dup_clusters"),
+        "wasted_space_chars",
+    )
+
+
+def file_sets_report(exact_clusters: DataFrame, max_sets: int = 1000) -> DataFrame:
+    """Deterministically sorted duplicate sets with member lists — member
+    lists are ONLY collected here, at the small report edge (SURVEY.md §1.2)."""
+    w = Window.partitionBy("cluster_id")
+    return (
+        exact_clusters.withColumn("set_size", F.count("*").over(w))
+        .groupBy("cluster_id")
+        .agg(
+            hash_hex(F.first("fhash")).alias("hash12"),
+            F.first("size").alias("size_chars"),
+            F.sort_array(F.collect_list("conv_id")).alias("members"),
+            F.count("*").alias("n_members"),
+        )
+        .withColumn("wasted_chars", F.col("size_chars") * (F.col("n_members") - 1))
+        .orderBy("hash12")
+        .limit(max_sets)
+    )
+
+
+def folder_sets_report(top_folders: DataFrame, max_sets: int = 1000) -> DataFrame:
+    return (
+        top_folders.groupBy("cluster_id")
+        .agg(
+            hash_hex(F.first("sig")).alias("sig12"),
+            F.sort_array(F.collect_list("folder")).alias("members"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("sig12")
+        .limit(max_sets)
+    )
+
+
+def stringify_report(file_sets: list, folder_sets: list, summary: dict) -> str:
+    """Text sink (stringify.go:13-57 analogue)."""
+    lines = []
+    for i, s in enumerate(file_sets, 1):
+        lines.append(
+            f"Set {i} ({s['hash12']}): size={s['size_chars']} chars, "
+            f"wasted={s['wasted_chars']}, members={', '.join(s['members'])}"
+        )
+    for i, s in enumerate(folder_sets, 1):
+        lines.append(
+            f"GroupSet {i} ({s['sig12']}): members={', '.join(s['members'])}"
+        )
+    lines.append(
+        f"Summary: {summary['file_sets']} duplicate sets, "
+        f"{summary['folder_sets']} group sets, "
+        f"{summary['near_dup_clusters']} near-dup clusters, "
+        f"{summary['wasted_space_chars']} wasted chars"
+    )
+    return "\n".join(lines)
+
+
+def jsonify_report(file_sets: list, folder_sets: list, summary: dict) -> str:
+    """JSON sink (stringify.go:60-70 analogue) wrapped in the library
+    envelope {success, error, report} (library/library.go:94-102)."""
+    return json.dumps(
+        {
+            "success": True,
+            "error": "",
+            "report": {
+                "summary": summary,
+                "fileDuplicates": file_sets,
+                "folderDuplicates": folder_sets,
+            },
+        },
+        indent=2,
+        default=str,
+    )

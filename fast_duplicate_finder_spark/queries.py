@@ -1,0 +1,745 @@
+"""Driver-facing query catalog: every operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle producing identical rows.
+
+Design rules for oracle parity (see __spark_entry__.py contract):
+* never expose raw hash VALUES (xxhash64 differs from DuckDB's hash) —
+  expose the equivalence classes they induce: min(id), counts, sizes;
+* keep numeric outputs in exact types (BIGINT, or double division of small
+  ints which is IEEE-identical across engines); round() only at report edge;
+* pair outputs are oriented numerically (least/greatest of BIGINT ids) —
+  string-lexicographic orientation would diverge from the oracle;
+* duplicates are PLANTED deterministically in SQL-expressible form (union
+  of shifted-id copies / suffix-append / word-replace) so both engines see
+  the same corpus — /root/testdata has no native duplicate rows.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fast_duplicate_finder_spark.config import PipelineConfig
+
+CFG = PipelineConfig()
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Planted-duplicate corpora (identical construction in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted exact copies (+100000), suffix-append near-dups
+    (+200000) and word-substitution near-dups (+300000)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    suffix = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"),
+    )
+    edit = d.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr("replace(text, 'table', 'tables')").alias("text"),
+    )
+    return d.unionAll(exact).unionAll(suffix).unionAll(edit)
+
+
+CORPUS_CTE = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id + 200000, text || ' tail tail tail' FROM documents WHERE doc_id % 10 = 1
+  UNION ALL SELECT doc_id + 300000, replace(text, 'table', 'tables') FROM documents WHERE doc_id % 10 = 2
+)"""
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return e.unionAll(copies)
+
+
+EMB_CTE = """emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Exact cascade over the planted corpus (A1-A5, A3 HAVING, P1-P3, F1-F2)
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-3 analogue: full-hash duplicate sets (xxhash64 equivalence
+    classes exposed as min-id clusters; phase_3.go:54-96)."""
+    c = dup_corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.xxhash64("text").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count("*").alias("n_members"),
+            F.max(F.length("text")).cast("long").alias("size_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            "size_chars",
+            (F.col("size_chars") * (F.col("n_members") - 1)).alias("wasted_chars"),
+        )
+    )
+
+
+ORACLE_EXACT_DUP = f"""WITH {CORPUS_CTE}
+SELECT min(doc_id) AS cluster_id, count(*)::BIGINT AS n_members,
+       max(len(text))::BIGINT AS size_chars,
+       (max(len(text)) * (count(*) - 1))::BIGINT AS wasted_chars
+FROM corpus GROUP BY text HAVING count(*) >= 2"""
+
+
+def q_prefilter_size_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-1 analogue: size groups with >=2 members (phase_1.go:121-132)."""
+    c = dup_corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.length("text").cast("long").alias("size_chars"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+ORACLE_PREFILTER = f"""WITH {CORPUS_CTE}
+SELECT len(text)::BIGINT AS size_chars, count(*)::BIGINT AS n_docs
+FROM corpus GROUP BY 1 HAVING count(*) >= 2"""
+
+
+def q_partial_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-2 analogue: (size, prefix-hash, suffix-hash) groups
+    (calculate_hash.go:43-109 with 64-char windows at this scale)."""
+    c = dup_corpus(spark, sf_dir).withColumn(
+        "size_chars", F.length("text").cast("long")
+    )
+    prefix = F.expr("substring(text, 1, 64)")
+    suffix = F.expr("substring(text, greatest(1, length(text) - 63), 64)")
+    return (
+        c.groupBy(
+            "size_chars",
+            F.xxhash64(prefix).alias("_ph"),
+            F.xxhash64(suffix).alias("_sh"),
+        )
+        .agg(F.min("doc_id").alias("cluster_id"), F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .select("cluster_id", "n_members", "size_chars")
+    )
+
+
+ORACLE_PARTIAL = f"""WITH {CORPUS_CTE}
+SELECT min(doc_id) AS cluster_id, count(*)::BIGINT AS n_members,
+       len(text)::BIGINT AS size_chars
+FROM corpus
+GROUP BY len(text), substr(text, 1, 64),
+         substr(text, greatest(1, len(text) - 63), 64)
+HAVING count(*) >= 2"""
+
+
+def q_transcript_assembly_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 invariant end-to-end: derive 10-word turns from each document,
+    reassemble with window-ordered concat, cluster by assembled doc."""
+    c = dup_corpus(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    n_turns = F.ceil(F.size(ws) / 10).cast("int")
+    turns = c.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_turns - 1),
+                lambda i: F.array_join(F.slice(ws, i * 10 + 1, 10), " "),
+            )
+        ).alias("turn_idx", "turn_text"),
+    ).repartition(16)  # scramble physical order: assembly must not care
+    asm = turns.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "turn_text"))),
+                lambda s: s.getField("turn_text"),
+            ),
+            "\n",
+        ).alias("doc")
+    )
+    return (
+        asm.groupBy("doc")
+        .agg(F.min("doc_id").alias("cluster_id"), F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .select("cluster_id", "n_members")
+    )
+
+
+ORACLE_ASSEMBLY = f"""WITH {CORPUS_CTE},
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+t AS (SELECT doc_id, unnest(range(0, cast(ceil(len(ws)/10.0) AS int))) AS turn_idx, ws FROM w),
+t2 AS (SELECT doc_id, turn_idx,
+              array_to_string(ws[turn_idx*10+1 : least(turn_idx*10+10, len(ws))], ' ') AS turn_text
+       FROM t),
+asm AS (SELECT doc_id, string_agg(turn_text, chr(10) ORDER BY turn_idx) AS doc
+        FROM t2 GROUP BY doc_id)
+SELECT min(doc_id) AS cluster_id, count(*)::BIGINT AS n_members
+FROM asm GROUP BY doc HAVING count(*) >= 2"""
+
+
+def q_group_signature_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-4 analogue on the source column: canonical sorted content
+    signature per source; sources sharing a signature are duplicate groups
+    (calculate_folder_signature.go:46-64's sort+join canonicalization)."""
+    d = _load(spark, sf_dir, "documents").select("source", "text")
+    dup = d.filter(F.col("source").isin("src0", "src1")).select(
+        F.concat(F.lit("dup_"), F.col("source")).alias("source"), "text"
+    )
+    g = d.unionAll(dup).groupBy("source").agg(
+        F.xxhash64(
+            F.concat_ws(";", F.sort_array(F.collect_list("text")))
+        ).alias("_sig")
+    )
+    w = Window.partitionBy("_sig")
+    return (
+        g.withColumn("n_groups", F.count("*").over(w))
+        .withColumn("cluster_id", F.min("source").over(w))
+        .filter(F.col("n_groups") >= 2)
+        .select("source", "cluster_id", "n_groups")
+    )
+
+
+ORACLE_GROUP_SIG = """WITH s AS (
+  SELECT source, text FROM documents
+  UNION ALL SELECT 'dup_' || source, text FROM documents WHERE source IN ('src0','src1')
+),
+g AS (SELECT source, string_agg(text, ';' ORDER BY text) AS sig FROM s GROUP BY source)
+SELECT g.source AS source, m.cluster_id AS cluster_id, m.n AS n_groups
+FROM g JOIN (
+  SELECT sig, min(source) AS cluster_id, count(*)::BIGINT AS n
+  FROM g GROUP BY sig HAVING count(*) >= 2
+) m USING (sig)"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: exact n-gram Jaccard (complete, via shared-shingle blocking),
+# MinHash/LSH (probabilistic path, verified), SimHash, winnowing spans
+# ---------------------------------------------------------------------------
+
+def _shingle_rows(c: DataFrame, k: int = 3) -> DataFrame:
+    ws = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+        )
+    )
+    return c.filter(F.size(ws) >= k).select(
+        "doc_id", F.explode(sh).alias("s")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs word-3-gram Jaccard >= 0.5 via shared-shingle
+    blocking (recall 1.0 for tau > 0: any tau-pair shares a shingle).
+    The deterministic sibling of the MinHash path."""
+    c = dup_corpus(spark, sf_dir)
+    sh = _shingle_rows(c)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+_ORACLE_SHINGLES = """sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                                 i -> array_to_string(ws[i:i+2], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+    WHERE len(ws) >= 3))"""
+
+
+def _oracle_jaccard(tau: float) -> str:
+    return f"""WITH {CORPUS_CTE},
+{_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {tau}"""
+
+
+ORACLE_JACCARD = _oracle_jaccard(0.5)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real MinHash/LSH/verify path (north_star) at config tau=0.7.
+    Verified by exact Jaccard, so precision is 1.0; the oracle is the
+    brute-force tau-pair set (recall check)."""
+    from fast_duplicate_finder_spark.operators.neardup import (
+        minhash_pairs,
+        shingle_features,
+    )
+
+    c = dup_corpus(spark, sf_dir)
+    docs = c.select(
+        F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("conv_id"),
+        F.col("text").alias("doc"),
+    )
+    features = shingle_features(docs, CFG)
+    verified, _ = minhash_pairs(features, CFG)
+    ia = F.col("conv_id_a").cast("long")
+    ib = F.col("conv_id_b").cast("long")
+    return verified.select(
+        F.least(ia, ib).alias("doc_id_a"),
+        F.greatest(ia, ib).alias("doc_id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+ORACLE_MINHASH = _oracle_jaccard(0.7)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fuzz pairs (no SQL oracle — rows-only check)."""
+    from fast_duplicate_finder_spark.operators.neardup import (
+        shingle_features,
+        simhash_pairs,
+    )
+
+    c = dup_corpus(spark, sf_dir)
+    docs = c.select(
+        F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("conv_id"),
+        F.col("text").alias("doc"),
+    )
+    pairs = simhash_pairs(shingle_features(docs, CFG), CFG)
+    ia = F.col("conv_id_a").cast("long")
+    ib = F.col("conv_id_b").cast("long")
+    return pairs.select(
+        F.least(ia, ib).alias("doc_id_a"),
+        F.greatest(ia, ib).alias("doc_id_b"),
+        "hamming",
+    )
+
+
+def q_winnow_span_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint candidates with a PORTABLE fingerprint (the
+    lexicographic min 3-gram per 20-gram window) so DuckDB can replicate:
+    pairs sharing a fingerprint == candidates for a >=22-token shared span."""
+    c = dup_corpus(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda i: F.array_join(F.slice(ws, i + 1, 3), " "),
+    )
+    W = 20
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(grams) - W),
+            lambda i: F.array_min(F.slice(grams, i + 1, W)),
+        )
+    )
+    rows = (
+        c.withColumn("grams", grams)
+        .filter(F.size("grams") >= W)
+        .select("doc_id", F.explode(fps).alias("fp"))
+        .distinct()
+    )
+    # stop-fingerprint removal: a fingerprint shared by >8 docs is corpus
+    # boilerplate, not a span signal — without this the pair join is
+    # quadratic in the hot bucket (the skew cap of operators/lsh.py,
+    # expressed portably so the oracle applies the identical rule).
+    # Join on the 64-bit hash of the fingerprint, not the string: same
+    # equivalence classes, ~10x narrower shuffle payload.
+    rows = rows.select("doc_id", F.xxhash64("fp").alias("fp"))
+    w_fp = Window.partitionBy("fp")
+    rows = rows.withColumn("fp_docs", F.count("*").over(w_fp)).filter(
+        F.col("fp_docs") <= 8
+    ).select("doc_id", "fp")
+    a = rows.alias("a")
+    b = rows.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+ORACLE_WINNOW = f"""WITH {CORPUS_CTE},
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[i:i+2], ' ')) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+  WHERE len(ws) >= 3),
+fp0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(grams) - 18),
+                               i -> list_min(grams[i:i+19]))) AS fp
+  FROM g WHERE len(grams) >= 20),
+fp AS (
+  SELECT doc_id, fp FROM fp0
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 8)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id"""
+
+
+def q_connected_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact-dup star edges — the clustering
+    operator with a transitive-closure-free oracle (exact groups ARE the
+    components)."""
+    from fast_duplicate_finder_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    c = dup_corpus(spark, sf_dir).withColumn(
+        "conv_id", F.lpad(F.col("doc_id").cast("string"), 9, "0")
+    )
+    w = Window.partitionBy(F.xxhash64("text"))
+    labeled = (
+        c.withColumn("n", F.count("*").over(w))
+        .withColumn("hub", F.min("conv_id").over(w))
+        .filter(F.col("n") >= 2)
+    )
+    edges = labeled.filter(F.col("conv_id") != F.col("hub")).select(
+        F.col("hub").alias("conv_id_a"), F.col("conv_id").alias("conv_id_b")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+ORACLE_CC = f"""WITH {CORPUS_CTE}
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component
+FROM corpus QUALIFY count(*) OVER (PARTITION BY text) >= 2"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "key", "value", "row")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return (
+        d.select("lang", F.size(ws).cast("long").alias("nt"),
+                 F.length("text").cast("long").alias("nc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("sum_tokens"),
+            F.sum("nc").alias("sum_chars"),
+        )
+    )
+
+
+ORACLE_TOKEN_STATS = """SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
+       sum(len(text))::BIGINT AS sum_chars
+FROM documents GROUP BY lang"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token counts, uniq ratio denominator,
+    stopword hits — all exact ints (quality scoring for data pipelines)."""
+    d = _load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    stop = F.size(
+        F.filter(ws, lambda w: w.isin(*_STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_uniq_tokens"),
+        stop.cast("long").alias("n_stopwords"),
+    )
+
+
+ORACLE_QUALITY = f"""SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq_tokens,
+       len(list_filter(string_split(text, ' '),
+                       x -> x IN {_STOPWORDS!r}))::BIGINT AS n_stopwords
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization (window ops) + exact dedup
+# ---------------------------------------------------------------------------
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session ids via lag + running sum."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: unix_timestamp() truncates to seconds, which
+    # would disagree with the oracle's interval compare (session TZ is UTC,
+    # so the NTZ->LTZ cast is identity)
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+    )
+
+
+ORACLE_SESSIONIZE = """WITH x AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events, sum(new_sess)::BIGINT AS n_sessions
+FROM x GROUP BY user_id"""
+
+
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.dropDuplicates(["user_id", "event_type", "value"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct"))
+    )
+
+
+ORACLE_EVENTS_DEDUP = """SELECT event_type, count(*)::BIGINT AS n_distinct
+FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H style aggregation (general OLAP breadth; exact decimal sums)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """SELECT l_returnflag, l_linestatus,
+       sum(cast(l_quantity AS DECIMAL(38,4))) AS sum_qty,
+       sum(cast(l_extendedprice AS DECIMAL(38,4))) AS sum_base_price,
+       sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (ANN / near-dup over vectors)
+# ---------------------------------------------------------------------------
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def q_embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine near-dup pairs (cos >= 0.999) over embeddings with
+    planted copies — the exactness baseline for ANN."""
+    e = _emb_corpus(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", _cosine(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(F.col("cos") >= 0.999)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+    )
+
+
+ORACLE_EMB_DUPS = f"""WITH {EMB_CTE}
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999"""
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for the same result: random-hyperplane LSH (16 seeded
+    +-1 planes -> one bucket key) prunes the cross join, exact cosine
+    verifies. Identical vectors always share a bucket -> recall 1.0 for
+    exact dups, same oracle as the brute-force query."""
+    e = _emb_corpus(spark, sf_dir)
+    dim = 64
+    rng = random.Random(1234)
+    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(16)]
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for plane in planes
+    ]
+    bucket = F.concat_ws("", *[b.cast("string") for b in bits])
+    keyed = e.withColumn("bucket", bucket)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", _cosine(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(F.col("cos") >= 0.999)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 20 query vectors
+    (similarity search baseline)."""
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 20).alias("q")
+    n = e.alias("n")
+    scored = (
+        q.join(n, F.col("q.vec_id") != F.col("n.vec_id"))
+        .withColumn("cos", _cosine(F.col("q.embedding"), F.col("n.embedding")))
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("n.vec_id").alias("neighbor_id"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    )
+
+
+ORACLE_EMB_TOPK = """SELECT q.vec_id AS vec_id,
+       row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                                   n.vec_id) AS rank,
+       n.vec_id AS neighbor_id
+FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+WHERE q.vec_id < 20
+QUALIFY rank <= 5"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "prefilter_size_groups": q_prefilter_size_groups,
+    "partial_hash_groups": q_partial_hash_groups,
+    "transcript_assembly_clusters": q_transcript_assembly_clusters,
+    "group_signature_dups": q_group_signature_dups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "winnow_span_candidates": q_winnow_span_candidates,
+    "connected_components_exact": q_connected_components_exact,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "events_sessionize": q_events_sessionize,
+    "events_dedup": q_events_dedup,
+    "tpch_q1": q_tpch_q1,
+    "embedding_exact_dups": q_embedding_exact_dups,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_topk": q_embedding_topk,
+}
+
+ORACLES = {
+    "exact_dup_clusters": ORACLE_EXACT_DUP,
+    "prefilter_size_groups": ORACLE_PREFILTER,
+    "partial_hash_groups": ORACLE_PARTIAL,
+    "transcript_assembly_clusters": ORACLE_ASSEMBLY,
+    "group_signature_dups": ORACLE_GROUP_SIG,
+    "ngram_jaccard_pairs": ORACLE_JACCARD,
+    "minhash_lsh_pairs": ORACLE_MINHASH,
+    # simhash_pairs: no SQL oracle (rows-only)
+    "winnow_span_candidates": ORACLE_WINNOW,
+    "connected_components_exact": ORACLE_CC,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "quality_scores": ORACLE_QUALITY,
+    "events_sessionize": ORACLE_SESSIONIZE,
+    "events_dedup": ORACLE_EVENTS_DEDUP,
+    "tpch_q1": ORACLE_TPCH_Q1,
+    "embedding_exact_dups": ORACLE_EMB_DUPS,
+    "embedding_ann_lsh": ORACLE_EMB_DUPS,
+    "embedding_topk": ORACLE_EMB_TOPK,
+}

