@@ -19,7 +19,6 @@ from fast_duplicate_finder_spark.functions.minhash import make_minhash_udf
 from fast_duplicate_finder_spark.functions.shingles import (
     kgram_hash_sequence,
     shingle_hashes,
-    winnow_fingerprints,
 )
 from fast_duplicate_finder_spark.functions.simhash import (
     simhash_candidate_pairs,
@@ -56,7 +55,12 @@ def minhash_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """MinHash/LSH candidates verified by exact Jaccard >= tau."""
     mh = make_minhash_udf(cfg.lsh_perms_used, cfg.minhash_seed)
-    sigs = features.select("conv_id", mh("shset").alias("minhash"))
+    # eager: the band self-join + bucket-size window would otherwise
+    # re-evaluate the Arrow kernel once per probe side (at 10^12 scale the
+    # signatures are their own checkpoint table — see plans/pipeline.py)
+    sigs = features.select(
+        "conv_id", mh("shset").alias("minhash")
+    ).localCheckpoint(eager=True)
     bands = lsh_band_rows(sigs, cfg)
     cands, overflow = candidate_pairs(bands, cfg)
     verified = verify_jaccard(
@@ -67,11 +71,13 @@ def minhash_pairs(
 
 def simhash_pairs(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """SimHash fuzz pass: Hamming <= h (exact by construction)."""
-    sims = features.select("conv_id", simhash_udf("shset").alias("simhash"))
     # empty docs share simhash 0; drop them (an empty doc is not a fuzz
-    # match of another empty doc in any useful sense; exact cascade owns it)
-    sims = sims.join(
-        features.filter(F.size("shset") > 0).select("conv_id"), "conv_id"
+    # match of another empty doc in any useful sense; exact cascade owns it).
+    # eager: the pigeonhole self-join would re-run the Arrow kernel per side.
+    sims = (
+        features.filter(F.size("shset") > 0)
+        .select("conv_id", simhash_udf("shset").alias("simhash"))
+        .localCheckpoint(eager=True)
     )
     return simhash_candidate_pairs(sims, cfg.simhash_hamming)
 
@@ -83,9 +89,37 @@ def span_pairs(
     longest-common-run verification. Deterministic recall for spans >=
     winnow window + k - 1 == span_min_tokens."""
     window = max(cfg.span_min_tokens - cfg.shingle_k + 1, 1)
-    fps = features.select(
-        "conv_id",
-        F.explode(winnow_fingerprints(F.col("grams"), window)).alias("fp"),
+    # Window-function winnowing (sliding-window min over posexploded gram
+    # hashes): same fingerprint set as functions/shingles.winnow_fingerprints
+    # but codegen'd O(n) instead of an interpreted O(n*window) HOF — and
+    # eager-checkpointed because it feeds the bucket-size window plus both
+    # sides of the candidate self-join.
+    from pyspark.sql import Window as W
+
+    g = features.select(
+        "conv_id", F.posexplode("grams").alias("pos", "gh")
+    )
+    w_frame = (
+        W.partitionBy("conv_id").orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    w_doc = W.partitionBy("conv_id")
+    fps = (
+        g.withColumn("wmin", F.min("gh").over(w_frame))
+        .withColumn("ng", F.count("*").over(w_doc))
+        .withColumn("full_min", F.min("gh").over(w_doc))
+        .withColumn(
+            "fp",
+            F.when(F.col("ng") >= window, F.col("wmin")).otherwise(
+                F.col("full_min")
+            ),
+        )
+        .filter(
+            (F.col("pos") <= F.col("ng") - window) | (F.col("ng") < window)
+        )
+        .select("conv_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     cands, overflow = fingerprint_candidate_pairs(fps, cfg)
     with_grams = attach_pair_payload(

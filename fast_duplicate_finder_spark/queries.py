@@ -234,15 +234,22 @@ FROM g JOIN (
 # ---------------------------------------------------------------------------
 
 def _shingle_rows(c: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, s) distinct shingle rows, s hashed to int64 (narrow shuffle
+    payload; the oracle counts shingle strings — identical equivalence
+    classes modulo 64-bit collisions). Eagerly materialized: the self-join
+    below would otherwise recompute the explode on both probe sides (at
+    scale this is the p6_features checkpoint table)."""
     ws = F.split(F.col("text"), " ")
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(ws) - k),
-            lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+            lambda i: F.xxhash64(F.array_join(F.slice(ws, i + 1, k), " ")),
         )
     )
-    return c.filter(F.size(ws) >= k).select(
-        "doc_id", F.explode(sh).alias("s")
+    return (
+        c.filter(F.size(ws) >= k)
+        .select("doc_id", F.explode(sh).alias("s"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -316,7 +323,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("conv_id"),
         F.col("text").alias("doc"),
     )
-    features = shingle_features(docs, CFG)
+    features = shingle_features(docs, CFG).localCheckpoint(eager=True)
     verified, _ = minhash_pairs(features, CFG)
     ia = F.col("conv_id_a").cast("long")
     ib = F.col("conv_id_b").cast("long")
@@ -342,7 +349,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("conv_id"),
         F.col("text").alias("doc"),
     )
-    pairs = simhash_pairs(shingle_features(docs, CFG), CFG)
+    pairs = simhash_pairs(
+        shingle_features(docs, CFG).localCheckpoint(eager=True), CFG
+    )
     ia = F.col("conv_id_a").cast("long")
     ib = F.col("conv_id_b").cast("long")
     return pairs.select(
@@ -357,22 +366,40 @@ def q_winnow_span_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic min 3-gram per 20-gram window) so DuckDB can replicate:
     pairs sharing a fingerprint == candidates for a >=22-token shared span."""
     c = dup_corpus(spark, sf_dir)
-    ws = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 3),
-        lambda i: F.array_join(F.slice(ws, i + 1, 3), " "),
-    )
     W = 20
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(grams) - W),
-            lambda i: F.array_min(F.slice(grams, i + 1, W)),
-        )
+    # window-function winnowing: sliding-window min via a frame over
+    # posexploded grams — codegen'd and O(n) rows, vs the interpreted
+    # O(n*W) array-slice storm of transform(sequence, i ->
+    # array_min(slice(...))) (HOFs are not codegen'd; measured ~7x slower)
+    toks = c.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn(
+            "gram",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(w_doc), F.lead("w", 2).over(w_doc)
+            ),
+        )
+        .withColumn("w2", F.lead("w", 2).over(w_doc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "pos", "gram")
+    )
+    w_frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, W - 1)
+    )
+    w_cnt = Window.partitionBy("doc_id")
     rows = (
-        c.withColumn("grams", grams)
-        .filter(F.size("grams") >= W)
-        .select("doc_id", F.explode(fps).alias("fp"))
+        grams.withColumn("fp", F.min("gram").over(w_frame))
+        .withColumn("ng", F.count("*").over(w_cnt))
+        .withColumn("maxpos", F.max("pos").over(w_cnt))
+        .filter(
+            (F.col("ng") >= W) & (F.col("pos") <= F.col("maxpos") - (W - 1))
+        )
+        .select("doc_id", "fp")
         .distinct()
     )
     # stop-fingerprint removal: a fingerprint shared by >8 docs is corpus
@@ -381,7 +408,9 @@ def q_winnow_span_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressed portably so the oracle applies the identical rule).
     # Join on the 64-bit hash of the fingerprint, not the string: same
     # equivalence classes, ~10x narrower shuffle payload.
-    rows = rows.select("doc_id", F.xxhash64("fp").alias("fp"))
+    rows = rows.select("doc_id", F.xxhash64("fp").alias("fp")).localCheckpoint(
+        eager=True
+    )  # shared by the bucket-size window AND both self-join sides
     w_fp = Window.partitionBy("fp")
     rows = rows.withColumn("fp_docs", F.count("*").over(w_fp)).filter(
         F.col("fp_docs") <= 8
@@ -702,6 +731,11 @@ QUALIFY rank <= 5"""
 # Registry
 # ---------------------------------------------------------------------------
 
+from fast_duplicate_finder_spark.trainingdata import (  # noqa: E402
+    TRAININGDATA_ORACLES,
+    TRAININGDATA_QUERIES,
+)
+
 QUERIES = {
     "exact_dup_clusters": q_exact_dup_clusters,
     "prefilter_size_groups": q_prefilter_size_groups,
@@ -721,6 +755,7 @@ QUERIES = {
     "embedding_exact_dups": q_embedding_exact_dups,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_topk": q_embedding_topk,
+    **TRAININGDATA_QUERIES,
 }
 
 ORACLES = {
@@ -742,4 +777,5 @@ ORACLES = {
     "embedding_exact_dups": ORACLE_EMB_DUPS,
     "embedding_ann_lsh": ORACLE_EMB_DUPS,
     "embedding_topk": ORACLE_EMB_TOPK,
+    **TRAININGDATA_ORACLES,
 }

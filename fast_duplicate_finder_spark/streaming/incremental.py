@@ -1,0 +1,154 @@
+"""Structured Streaming legs: incremental exact dedup + sessionization.
+
+The reference is strictly batch (SURVEY.md §2.9 — its channels are
+intra-process pipelining, not event-time streaming). A 100 TB training-data
+corpus, however, *arrives* incrementally; these operators make the exact
+cascade incremental without reprocessing history:
+
+* ``run_incremental_dedup`` — micro-batch ingest of transcript rows
+  (``readStream`` over a parquet directory; Iceberg/Kafka sources swap in
+  behind the same call). Each micro-batch assembles its conversations
+  (window-ordered concat — the batch operator, reused verbatim), full-hashes
+  them, and joins against the persistent *seen-hash* state table: hashes
+  already seen are appended to a duplicates log, new hashes extend the state.
+  State is a parquet table partitioned by hash prefix — at scale this is the
+  Iceberg MERGE target; the batch join is broadcast when the micro-batch is
+  small, shuffle otherwise (left to AQE).
+* ``sessionize`` — event-time session windows (``F.session_window``) with a
+  watermark for late data. The same expression works on a batch DataFrame
+  (all sessions emitted) and on a stream (sessions emitted as the watermark
+  closes them) — tests pin batch output; streaming is exercised with an
+  ``availableNow`` trigger.
+
+Exactly-once notes: foreachBatch gives at-least-once; the epoch id is
+recorded in the state table so a replayed micro-batch can be detected and
+its rows dropped (idempotent resume — same contract as the phase
+checkpoints in storage.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fast_duplicate_finder_spark.sources.transcripts import (
+    assemble_conversations,
+)
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def _dedup_batch(
+    batch: DataFrame, epoch_id: int, state_dir: str, dups_dir: str
+) -> None:
+    """One micro-batch: assemble -> hash -> split into (seen = duplicate,
+    unseen = new state). Runs on the executors; only paths/counters touch
+    the driver."""
+    spark = batch.sparkSession
+    docs = assemble_conversations(batch)
+    hashed = docs.select(
+        "conv_id", F.xxhash64("doc").alias("fhash"), "size"
+    )
+    state_data = os.path.join(state_dir, "data")
+    have_state = os.path.exists(state_data)
+    if have_state:
+        seen = spark.read.parquet(state_data)
+        # replayed epoch (at-least-once restart): drop rows already recorded
+        if seen.filter(F.col("epoch_id") == epoch_id).limit(1).count() > 0:
+            hashed = hashed.join(
+                seen.filter(F.col("epoch_id") == epoch_id).select("conv_id"),
+                "conv_id",
+                "left_anti",
+            )
+        dup_hits = hashed.join(
+            seen.select("fhash", F.col("conv_id").alias("first_conv_id")),
+            "fhash",
+        )
+        dup_hits.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(os.path.join(dups_dir, "data"))
+        new_rows = hashed.join(
+            seen.select("fhash"), "fhash", "left_anti"
+        )
+    else:
+        new_rows = hashed
+    # first occurrence per hash inside the batch becomes state; the rest are
+    # intra-batch duplicates
+    w_first = F.min("conv_id").over(Window.partitionBy("fhash"))
+    tagged = new_rows.withColumn("first_conv_id", w_first)
+    intra_dups = tagged.filter(F.col("conv_id") != F.col("first_conv_id"))
+    intra_dups.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+        "append"
+    ).parquet(os.path.join(dups_dir, "data"))
+    firsts = tagged.filter(F.col("conv_id") == F.col("first_conv_id")).select(
+        "fhash", "conv_id", "size"
+    )
+    firsts.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
+        state_data
+    )
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with ``available_now`` run to completion) the incremental
+    dedup stream. Returns the StreamingQuery."""
+    state_dir = os.path.join(work_dir, "state")
+    dups_dir = os.path.join(work_dir, "dups")
+    ckpt = os.path.join(work_dir, "_stream_checkpoint")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(dups_dir, exist_ok=True)
+    stream = stream_transcripts(spark, input_path, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: _dedup_batch(df, eid, state_dir, dups_dir)
+        )
+        .option("checkpointLocation", ckpt)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_dup_log(spark: SparkSession, work_dir: str) -> DataFrame:
+    """(conv_id, fhash, first_conv_id, epoch_id) of every duplicate seen."""
+    return spark.read.parquet(os.path.join(work_dir, "dups", "data"))
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time session windows per user. Works on batch and streaming
+    DataFrames alike; on a stream the watermark bounds session state."""
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark(ts_col, watermark)
+    return e.groupBy(
+        F.col(user_col), F.session_window(F.col(ts_col), gap).alias("session")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )

@@ -1,0 +1,328 @@
+"""Training-data pipeline operators beyond the reference's dedup scope:
+language identification, regex (BPE-ish) tokenization, IVF-style ANN over
+embeddings, and multimodal binary-payload metadata extraction.
+
+Each operator is exposed as a ``(spark, sf_dir) -> DataFrame`` query with a
+DuckDB oracle producing identical rows (registered via queries.py). The
+reference engine (maxthedon/fast-duplicate-finder) has none of these; they
+are the 100 TB-corpus companions of its dedup cascade (see SURVEY.md §2
+"beyond the reference" and BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Language identification — profile-based n-gram/token heuristic
+# ---------------------------------------------------------------------------
+
+_PROFILE_TOP = 20
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained token-profile language ID + confusion matrix.
+
+    Train: per language, the top-20 tokens by frequency (tie-break: token
+    asc) over the labeled documents. Classify: each doc's distinct tokens
+    are intersected with every profile; predicted language = argmax overlap
+    (tie-break: lang asc). Output: (lang, pred_lang, n_docs) confusion
+    counts. Fully deterministic; both the train and classify legs are
+    single-shuffle aggregations and the profile join is a broadcast
+    (5 langs x 20 tokens).
+    """
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    profile = (
+        counts.withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= _PROFILE_TOP)
+        .select(F.col("lang").alias("profile_lang"), "token")
+    )
+    doc_toks = toks.select("doc_id", "lang", "token").distinct()
+    scores = (
+        doc_toks.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("profile_lang")
+    )
+    pred = (
+        scores.withColumn("r", F.row_number().over(w_pred))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "lang", F.col("profile_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+ORACLE_LANG_ID = f"""WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+profile AS (
+  SELECT lang AS profile_lang, token FROM (
+    SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token)
+  QUALIFY row_number() OVER (PARTITION BY lang
+                             ORDER BY cnt DESC, token ASC) <= {_PROFILE_TOP}),
+doc_toks AS (SELECT DISTINCT doc_id, lang, token FROM toks),
+scores AS (
+  SELECT doc_id, lang, profile_lang, count(*) AS score
+  FROM doc_toks JOIN profile USING (token)
+  GROUP BY doc_id, lang, profile_lang),
+pred AS (
+  SELECT doc_id, lang, profile_lang AS pred_lang FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, profile_lang ASC) = 1)
+SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+FROM pred GROUP BY lang, pred_lang"""
+
+
+# ---------------------------------------------------------------------------
+# Regex (BPE-ish) tokenization — the token-counting leg of quality scoring
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token accounting under a BPE-ish regex tokenizer
+    (letters / digit-runs / punctuation) vs whitespace tokens — all
+    JVM-side ``regexp_extract_all``, no Python."""
+    d = _load(spark, sf_dir, "documents")
+    regex_toks = F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)
+    ws_toks = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "lang",
+            F.size(regex_toks).cast("long").alias("nr"),
+            F.size(ws_toks).cast("long").alias("nw"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nr").alias("sum_regex_tokens"),
+            F.sum("nw").alias("sum_ws_tokens"),
+        )
+    )
+
+
+ORACLE_REGEX_TOKENS = f"""SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '{_TOKEN_RE}')))::BIGINT AS sum_regex_tokens,
+       sum(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens
+FROM documents GROUP BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN over embeddings (the scale path beyond brute force)
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 8
+_IVF_TOPK = 3
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: vectors are bucketed to their nearest of 8
+    fixed coarse centroids (the embeddings of vec_id 0..7 — a deterministic
+    stand-in for a k-means codebook); each query (vec_id < 20) searches only
+    its own cell. The centroid table is 8 rows -> broadcast nested-loop on
+    the assignment, then one equi-join on cell for the search: the cross
+    join brute force is replaced by |cell| ~ N/8 candidates per query —
+    the 100 TB path is the same plan with a trained codebook of ~sqrt(N)
+    centroids."""
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", _cosine(F.col("embedding"), F.col("centroid"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), "cell"
+    )
+    n = assigned.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nemb"), "cell"
+    )
+    cand = q.join(n, "cell").filter(F.col("qid") != F.col("nid"))
+    w_top = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.asc("nid")
+    )
+    return (
+        cand.withColumn("cos", _cosine(F.col("qemb"), F.col("nemb")))
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+        )
+    )
+
+
+ORACLE_IVF = f"""WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings
+  WHERE vec_id < {_N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell
+  FROM embeddings CROSS JOIN cents
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY list_cosine_similarity(embedding, centroid) DESC,
+             centroid_id ASC) = 1)
+SELECT q.vec_id AS vec_id,
+       row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                                   n.vec_id ASC) AS rank,
+       n.vec_id AS neighbor_id
+FROM assigned q JOIN assigned n ON q.cell = n.cell AND q.vec_id != n.vec_id
+WHERE q.vec_id < 20
+QUALIFY rank <= {_IVF_TOPK}"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-payload metadata (decode step stubbed; plumbing real)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction end to end: synthesize an opaque
+    binary column (utf-8 bytes of the document text — the corpus has no
+    native media), tag a media_type, run the Arrow-batched ``mapInPandas``
+    decode-stub kernel (functions/multimodal.py), and aggregate per media
+    type. The oracle replicates the stub's deterministic arithmetic from
+    octet_length + code-point sums (ASCII corpus: code point == byte)."""
+    from fast_duplicate_finder_spark.functions.multimodal import (
+        extract_media_meta,
+    )
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+    meta = extract_media_meta(d)
+    return meta.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.sum(F.col("width").cast("long")).alias("sum_width"),
+        F.sum(F.col("height").cast("long")).alias("sum_height"),
+        F.sum(F.col("n_frames").cast("long")).alias("sum_frames"),
+        F.sum("checksum").alias("sum_checksum"),
+    )
+
+
+ORACLE_MULTIMODAL = """WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         list_sum(list_transform(regexp_extract_all(substr(text, 1, 64), '.'),
+                                 x -> unicode(x))) AS checksum
+  FROM documents)
+SELECT media_type, count(*)::BIGINT AS n_items,
+       sum(n_bytes)::BIGINT AS sum_bytes,
+       sum(n_bytes % 640 + 1)::BIGINT AS sum_width,
+       sum((n_bytes * 7) % 480 + 1)::BIGINT AS sum_height,
+       sum(n_bytes % 16 + 1)::BIGINT AS sum_frames,
+       sum(coalesce(checksum, 0))::BIGINT AS sum_checksum
+FROM m GROUP BY media_type"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 (join breadth: filter -> broadcast dim -> fact join -> agg)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority query: BUILDING-segment customers' un-shipped
+    revenue per order. customer is the small side -> broadcast; orders x
+    lineitem is the fact join (shuffle on orderkey); date predicates push
+    down to the parquet scans."""
+    cust = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-06-01"
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-06-01"
+    )
+    dec = lambda c: c.cast("decimal(38,4)")  # noqa: E731
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_TPCH_Q3 = """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority"""
+
+
+TRAININGDATA_QUERIES = {
+    "lang_id_confusion": q_lang_id_confusion,
+    "regex_token_counts": q_regex_token_counts,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "multimodal_meta": q_multimodal_meta,
+    "tpch_q3": q_tpch_q3,
+}
+
+TRAININGDATA_ORACLES = {
+    "lang_id_confusion": ORACLE_LANG_ID,
+    "regex_token_counts": ORACLE_REGEX_TOKENS,
+    "embedding_ivf_topk": ORACLE_IVF,
+    "multimodal_meta": ORACLE_MULTIMODAL,
+    "tpch_q3": ORACLE_TPCH_Q3,
+}

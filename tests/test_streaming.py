@@ -1,0 +1,131 @@
+"""Structured Streaming legs: incremental exact dedup equals the batch
+cascade's duplicate set; session windows match the lag-based batch
+sessionizer; the stream itself runs end to end with availableNow."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fast_duplicate_finder_spark.corpus import generate_transcripts
+from fast_duplicate_finder_spark.streaming.incremental import (
+    read_dup_log,
+    run_incremental_dedup,
+    sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    """Planted corpus written as two parquet files (two micro-batch's worth
+    of arrivals, duplicates crossing the file boundary)."""
+    base = tmp_path_factory.mktemp("stream_corpus")
+    t = generate_transcripts(spark, n_convs=120, seed=7)
+    convs = [r["conv_id"] for r in t.select("conv_id").distinct().collect()]
+    half = list(convs[: len(convs) // 2])
+    t.filter(F.col("conv_id").isin(half)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "f1"))
+    t.filter(~F.col("conv_id").isin(half)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "f2"))
+    # one flat dir of files for the file-stream source
+    flat = base / "in"
+    flat.mkdir()
+    i = 0
+    for sub in ("f1", "f2"):
+        for f in os.listdir(base / sub):
+            if f.endswith(".parquet"):
+                os.rename(base / sub / f, flat / f"part{i}.parquet")
+                i += 1
+    return str(flat)
+
+
+def _batch_expected_dups(spark, corpus_dir):
+    t = spark.read.parquet(corpus_dir)
+    from fast_duplicate_finder_spark.sources.transcripts import (
+        assemble_conversations,
+    )
+
+    docs = assemble_conversations(t)
+    hashed = docs.select("conv_id", F.xxhash64("doc").alias("fhash"))
+    w = F.min("conv_id").over(Window.partitionBy("fhash"))
+    return {
+        r["conv_id"]
+        for r in hashed.withColumn("first", w)
+        .filter(F.col("conv_id") != F.col("first"))
+        .collect()
+    }
+
+
+def test_incremental_dedup_matches_batch(spark, corpus_dir, tmp_path):
+    work = str(tmp_path / "work")
+    q = run_incremental_dedup(
+        spark, corpus_dir, work, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    got = {r["conv_id"] for r in read_dup_log(spark, work).collect()}
+    expected = _batch_expected_dups(spark, corpus_dir)
+    assert expected, "corpus must contain planted duplicates"
+    assert got == expected
+
+
+def test_incremental_dedup_resume_is_idempotent(spark, corpus_dir, tmp_path):
+    """Second availableNow run over the same directory: no new input files,
+    no duplicate log growth (checkpoint makes resume a no-op)."""
+    work = str(tmp_path / "work2")
+    q = run_incremental_dedup(spark, corpus_dir, work, available_now=True)
+    q.awaitTermination(300)
+    n1 = read_dup_log(spark, work).count()
+    q2 = run_incremental_dedup(spark, corpus_dir, work, available_now=True)
+    q2.awaitTermination(300)
+    n2 = read_dup_log(spark, work).count()
+    assert n1 == n2
+
+
+def test_sessionize_batch_matches_lag_based(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sess = sessionize(events, gap="30 minutes")
+    got = (
+        sess.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    from fast_duplicate_finder_spark.queries import q_events_sessionize
+
+    expected = q_events_sessionize(spark, "/root/testdata/sf0.001")
+    g = {(r["user_id"]): (r["n_sessions"], r["n_events"]) for r in got.collect()}
+    e = {(r["user_id"]): (r["n_sessions"], r["n_events"]) for r in expected.collect()}
+    assert g == e
+
+
+def test_sessionize_streaming_runs(spark, tmp_path):
+    """Streaming smoke: session_window agg + watermark over a file stream
+    completes under availableNow and emits only watermark-closed sessions
+    (a subset of the batch sessions)."""
+    src = str(tmp_path / "events_in")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        ).parquet(src)
+    )
+    sess = sessionize(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("SELECT count(*) n FROM sess_smoke").collect()[0]["n"]
+    batch_n = sessionize(
+        spark.read.parquet(src), gap="30 minutes"
+    ).count()
+    assert 0 <= emitted <= batch_n
