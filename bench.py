@@ -37,6 +37,11 @@ HEADLINE = [
     "embedding_ann_lsh",
     "events_sessionize",
     "tpch_q1",
+    "tpch_q3",
+    "lang_id_confusion",
+    "regex_token_counts",
+    "embedding_ivf_topk",
+    "multimodal_meta",
 ]
 
 

@@ -52,22 +52,29 @@ def _batch_expected_dups(spark, corpus_dir):
 
     docs = assemble_conversations(t)
     hashed = docs.select("conv_id", F.xxhash64("doc").alias("fhash"))
-    w = F.min("conv_id").over(Window.partitionBy("fhash"))
+    clusters: dict[int, set[str]] = {}
+    for r in hashed.collect():
+        clusters.setdefault(r["fhash"], set()).add(r["conv_id"])
     return {
-        r["conv_id"]
-        for r in hashed.withColumn("first", w)
-        .filter(F.col("conv_id") != F.col("first"))
-        .collect()
+        frozenset(members) for members in clusters.values() if len(members) >= 2
     }
 
 
 def test_incremental_dedup_matches_batch(spark, corpus_dir, tmp_path):
+    """Same duplicate CLUSTERS as the batch cascade. The canonical member
+    may differ (stream = first arrival, batch = min conv_id) — both are
+    valid representatives; cluster membership must agree exactly."""
     work = str(tmp_path / "work")
     q = run_incremental_dedup(
         spark, corpus_dir, work, available_now=True, max_files_per_trigger=1
     )
     q.awaitTermination(300)
-    got = {r["conv_id"] for r in read_dup_log(spark, work).collect()}
+    stream_clusters: dict[int, set[str]] = {}
+    for r in read_dup_log(spark, work).collect():
+        s = stream_clusters.setdefault(r["fhash"], set())
+        s.add(r["conv_id"])
+        s.add(r["first_conv_id"])
+    got = {frozenset(m) for m in stream_clusters.values()}
     expected = _batch_expected_dups(spark, corpus_dir)
     assert expected, "corpus must contain planted duplicates"
     assert got == expected
