@@ -73,8 +73,16 @@ def run_headline() -> None:
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
     # warm the JVM/Arrow paths once so per-query numbers measure the plan,
-    # not first-call initialization
+    # not first-call initialization: one JVM-only query, plus one trivial
+    # pandas UDF across all cores (spawns the Python workers and imports
+    # pandas/numpy in each — otherwise the first UDF query pays ~30-45 s)
     QUERIES["exact_dup_clusters"](spark, SF_DIR).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    _warm = F.pandas_udf(lambda s: s, T.LongType())
+
+    spark.range(CPUS * 4).repartition(CPUS).select(_warm("id")).count()
 
     per_query: dict[str, float] = {}
     total = 0.0

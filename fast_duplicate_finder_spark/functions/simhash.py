@@ -23,15 +23,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def simhash_batch(hash_lists: pd.Series) -> pd.Series:
-    lens = np.fromiter((len(h) if h is not None else 0 for h in hash_lists),
-                       dtype=np.int64, count=len(hash_lists))
-    safe = [
-        np.asarray(h, dtype=np.int64).view(np.uint64)
-        if h is not None and len(h) else np.array([np.uint64(0)])
-        for h in hash_lists
-    ]
-    flat = np.concatenate(safe) if safe else np.array([], dtype=np.uint64)
+_ROW_CHUNK = 512  # bounds the (M,64) bit matrix: peak ~= chunk * avg_set *
+                  # 64 * 12B per worker — without chunking a 10k-row Arrow
+                  # batch allocates ~400 MB transient PER WORKER, and 32
+                  # local workers together thrash the page cache
+
+
+def _simhash_rows(safe: list[np.ndarray], lens: np.ndarray) -> np.ndarray:
+    flat = np.concatenate(safe)
     starts = np.zeros(len(safe), dtype=np.int64)
     np.cumsum([len(s) for s in safe[:-1]], out=starts[1:])
     shifts = np.arange(64, dtype=np.uint64)
@@ -40,8 +39,22 @@ def simhash_batch(hash_lists: pd.Series) -> pd.Series:
     m = np.maximum(lens, 1)[:, None]
     sig_bits = (2 * ones) > m                                            # vote sign
     packed = (sig_bits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
-    packed = np.where(lens > 0, packed, np.uint64(0))
-    return pd.Series(packed.view(np.int64))
+    return np.where(lens > 0, packed, np.uint64(0))
+
+
+def simhash_batch(hash_lists: pd.Series) -> pd.Series:
+    lens = np.fromiter((len(h) if h is not None else 0 for h in hash_lists),
+                       dtype=np.int64, count=len(hash_lists))
+    safe = [
+        np.asarray(h, dtype=np.int64).view(np.uint64)
+        if h is not None and len(h) else np.array([np.uint64(0)])
+        for h in hash_lists
+    ]
+    out = np.empty(len(safe), dtype=np.uint64)
+    for i in range(0, len(safe), _ROW_CHUNK):
+        j = min(i + _ROW_CHUNK, len(safe))
+        out[i:j] = _simhash_rows(safe[i:j], lens[i:j])
+    return pd.Series(out.view(np.int64))
 
 
 @F.pandas_udf(T.LongType())

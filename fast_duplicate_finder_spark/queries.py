@@ -323,7 +323,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("conv_id"),
         F.col("text").alias("doc"),
     )
-    features = shingle_features(docs, CFG).localCheckpoint(eager=True)
+    # shset only: materializing the unused positional `grams` column would
+    # defeat column pruning (localCheckpoint stores every column)
+    features = (
+        shingle_features(docs, CFG)
+        .select("conv_id", "shset")
+        .localCheckpoint(eager=True)
+    )
     verified, _ = minhash_pairs(features, CFG)
     ia = F.col("conv_id_a").cast("long")
     ib = F.col("conv_id_b").cast("long")
@@ -350,7 +356,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("doc"),
     )
     pairs = simhash_pairs(
-        shingle_features(docs, CFG).localCheckpoint(eager=True), CFG
+        shingle_features(docs, CFG)
+        .select("conv_id", "shset")
+        .localCheckpoint(eager=True),
+        CFG,
     )
     ia = F.col("conv_id_a").cast("long")
     ib = F.col("conv_id_b").cast("long")
