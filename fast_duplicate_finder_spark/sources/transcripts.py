@@ -23,9 +23,26 @@ from pyspark.sql import functions as F
 SEP = "\n"  # inter-turn separator in the assembled document
 
 
-def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Read a transcripts table (parquet dir or file; Iceberg when the
-    runtime jar is on the classpath — storage.py abstracts that)."""
+TRANSCRIPT_SCHEMA_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def load_transcripts(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a transcripts table.
+
+    ``fmt``: ``parquet`` (dir or file), ``iceberg`` (``path`` is a table
+    name; requires the Iceberg runtime jar + catalog conf — the sandbox has
+    neither, so this path is exercised on a real cluster), or ``json``
+    (JSONL with the input_hint schema applied, no inference scan).
+    """
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    if fmt == "json":
+        return spark.read.schema(TRANSCRIPT_SCHEMA_DDL).json(path)
     return spark.read.parquet(path)
 
 
