@@ -138,7 +138,7 @@ def _pipeline_run(cores: int, corpus_path: str, ckpt_base: str) -> dict:
     return out
 
 
-def run_scaling(n_convs: int = 30000) -> None:
+def run_scaling(n_convs: int = 120000) -> None:
     from fast_duplicate_finder_spark.corpus import generate_transcripts_distributed
     from fast_duplicate_finder_spark.session import get_spark
 

@@ -11,15 +11,11 @@ Pair kinds (expected_near_pairs fixture): exact | minhash | simhash | span.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fast_duplicate_finder_spark.config import PipelineConfig
 from fast_duplicate_finder_spark.functions.minhash import make_minhash_udf
-from fast_duplicate_finder_spark.functions.shingles import (
-    kgram_hash_sequence,
-    shingle_hashes,
-)
 from fast_duplicate_finder_spark.functions.simhash import (
     simhash_candidate_pairs,
     simhash_udf,
@@ -42,12 +38,61 @@ from fast_duplicate_finder_spark.operators.verify import (
 def shingle_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(conv_id, shset, grams) — one pass over documents; reused by every
     near-dup leg. Checkpoint this in the pipeline: documents are never
-    re-read afterwards."""
-    return docs.select(
+    re-read afterwards.
+
+    Computed via posexplode + lead-window + groupBy instead of the nested
+    higher-order functions in functions/shingles.py: HOF ``transform(
+    sequence, i -> xxhash64(array_join(slice(...))))`` is interpreted
+    per-element with an array allocation per position and was the
+    non-scaling hot spot of the whole pipeline (p6 ~flat from 8 to 32
+    cores); the row formulation is whole-stage-codegen'd end to end.
+    Semantics are identical except shset's (irrelevant) element order:
+    * shset — distinct k-shingle hashes, sorted; 0 < n_words < k degrades
+      to one whole-doc shingle (functions/shingles.word_shingles parity);
+    * grams — positional (non-distinct) k-gram hashes in token order.
+    """
+    from fast_duplicate_finder_spark.functions.shingles import words
+
+    k = cfg.shingle_k
+    w = words(F.col("doc"))
+    base = docs.select(
         "conv_id",
-        shingle_hashes(F.col("doc"), cfg.shingle_k).alias("shset"),
-        kgram_hash_sequence(F.col("doc"), cfg.shingle_k).alias("grams"),
+        F.size(w).alias("n_words"),
+        F.xxhash64(F.array_join(w, " ")).alias("whole_hash"),
+        F.col("doc"),
     )
+    toks = base.select(
+        "conv_id", "n_words", F.posexplode(words(F.col("doc"))).alias("pos", "tok")
+    )
+    w_ord = Window.partitionBy("conv_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w_ord) for i in range(1, k)]
+    valid = leads[-1].isNotNull() if k > 1 else F.lit(True)
+    g = toks.withColumn(
+        "gh",
+        F.when(valid, F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads))),
+    )
+    agg = g.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("gh").isNotNull(), F.struct("pos", "gh"))
+                )
+            ),
+            lambda s: s.getField("gh"),
+        ).alias("grams"),
+        F.array_sort(F.collect_set("gh")).alias("shset0"),
+    )
+    out = base.join(agg, "conv_id", "left").select(
+        "conv_id",
+        F.when(
+            F.col("n_words") >= k, F.coalesce("shset0", F.array().cast("array<bigint>"))
+        )
+        .when(F.col("n_words") > 0, F.array(F.col("whole_hash")))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("shset"),
+        F.coalesce("grams", F.array().cast("array<bigint>")).alias("grams"),
+    )
+    return out
 
 
 def minhash_pairs(

@@ -157,11 +157,15 @@ def run_pipeline(
             resume,
         )
 
+        ovf_holder: dict[str, DataFrame] = {}
+
         def _pairs() -> DataFrame:
             mh, mh_ovf = minhash_pairs(features, cfg)
             sh = simhash_pairs(features, cfg)
             sp, sp_ovf = span_pairs(features, cfg)
-            tagged = (
+            ovf_holder["mh"] = mh_ovf
+            ovf_holder["sp"] = sp_ovf
+            return (
                 mh.select(
                     "conv_id_a", "conv_id_b", F.lit("minhash").alias("kind")
                 )
@@ -173,12 +177,26 @@ def run_pipeline(
                     )
                 )
             )
-            n_ovf = mh_ovf.count() + sp_ovf.count()
-            store.metrics.append({"phase": "p7_pairs", "overflow_buckets": n_ovf})
-            return tagged
 
         pairs = store.get_or_compute(
             "p7_pairs", _pairs, ["p6_features", "p3_exact"], resume
+        )
+        # capped-bucket overflow is its own checkpoint table per leg: the
+        # manifest row count IS the counter (north_rule: capped, counted,
+        # never silent) — no extra count() jobs. When p7_pairs resumed but
+        # an overflow table is missing (killed mid-phase), it is recomputed
+        # from the features checkpoint.
+        store.get_or_compute(
+            "p7_lsh_overflow",
+            lambda: ovf_holder["mh"] if "mh" in ovf_holder
+            else minhash_pairs(features, cfg)[1],
+            ["p6_features"], resume,
+        )
+        store.get_or_compute(
+            "p7_span_overflow",
+            lambda: ovf_holder["sp"] if "sp" in ovf_holder
+            else span_pairs(features, cfg)[1],
+            ["p6_features"], resume,
         )
         clusters = store.get_or_compute(
             "p8_clusters",

@@ -66,6 +66,18 @@ class CheckpointStore:
         phase boundaries)."""
         path = self._dir(phase)
         data_path = os.path.join(path, "data")
+        # Guarantee downstream parallelism: AQE coalesces small phase
+        # outputs to one or two partitions, and a 1-file parquet checkpoint
+        # then feeds every later stage (including the Arrow UDF kernels) as
+        # a SINGLE task no matter how many executors exist — measured as
+        # p6/p7 running 38 s/54 s flat at both local[8] and local[32].
+        # Checkpoints are therefore written with `defaultParallelism`
+        # partitions (on a cluster that is executors x cores, so the floor
+        # rises with the cluster; the one extra round-robin shuffle per
+        # phase also balances the checkpoint files, making the per-partition
+        # counters meaningful).
+        target = self.spark.sparkContext.defaultParallelism
+        df = df.repartition(target)
         df.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
         per_part = (
@@ -114,4 +126,7 @@ class CheckpointStore:
         if resume and self.exists(phase):
             self.metrics.append({"phase": phase, "resumed": True})
             return self.read(phase)
-        return self.write(compute(), phase, lineage=lineage)
+        t0 = time.perf_counter()
+        out = self.write(compute(), phase, lineage=lineage)
+        self.metrics[-1]["seconds"] = round(time.perf_counter() - t0, 2)
+        return out
