@@ -157,46 +157,70 @@ def run_pipeline(
             resume,
         )
 
+        # Each near-dup leg is its own checkpointed phase: finer-grained
+        # resume (kill mid-leg loses only that leg), and the fused
+        # union-of-three-legs query measured ~2.5x slower than the legs run
+        # as separate jobs at high core counts (three Arrow-UDF stage trees
+        # competing inside one DAG). Overflow tables are phases too — the
+        # manifest row count IS the counter (capped, counted, never silent).
         ovf_holder: dict[str, DataFrame] = {}
 
-        def _pairs() -> DataFrame:
-            mh, mh_ovf = minhash_pairs(features, cfg)
-            sh = simhash_pairs(features, cfg)
-            sp, sp_ovf = span_pairs(features, cfg)
-            ovf_holder["mh"] = mh_ovf
-            ovf_holder["sp"] = sp_ovf
-            return (
-                mh.select(
+        def _mh() -> DataFrame:
+            mh, ovf = minhash_pairs(features, cfg)
+            ovf_holder["mh"] = ovf
+            return mh.select("conv_id_a", "conv_id_b", "jaccard")
+
+        mh_pairs_df = store.get_or_compute(
+            "p7a_minhash_pairs", _mh, ["p6_features"], resume
+        )
+        store.get_or_compute(
+            "p7a_lsh_overflow",
+            lambda: ovf_holder["mh"] if "mh" in ovf_holder
+            else minhash_pairs(features, cfg)[1],
+            ["p6_features"], resume,
+        )
+        sh_pairs_df = store.get_or_compute(
+            "p7b_simhash_pairs",
+            lambda: simhash_pairs(features, cfg),
+            ["p6_features"], resume,
+        )
+
+        def _sp() -> DataFrame:
+            sp, ovf = span_pairs(features, cfg)
+            ovf_holder["sp"] = ovf
+            return sp
+
+        sp_pairs_df = store.get_or_compute(
+            "p7c_span_pairs", _sp, ["p6_features"], resume
+        )
+        store.get_or_compute(
+            "p7c_span_overflow",
+            lambda: ovf_holder["sp"] if "sp" in ovf_holder
+            else span_pairs(features, cfg)[1],
+            ["p6_features"], resume,
+        )
+
+        pairs = store.get_or_compute(
+            "p7_pairs",
+            lambda: (
+                mh_pairs_df.select(
                     "conv_id_a", "conv_id_b", F.lit("minhash").alias("kind")
                 )
-                .union(sh.select("conv_id_a", "conv_id_b", F.lit("simhash")))
-                .union(sp.select("conv_id_a", "conv_id_b", F.lit("span")))
+                .union(
+                    sh_pairs_df.select("conv_id_a", "conv_id_b", F.lit("simhash"))
+                )
+                .union(
+                    sp_pairs_df.select("conv_id_a", "conv_id_b", F.lit("span"))
+                )
                 .union(
                     exact_pairs_from_clusters(p3).select(
                         "conv_id_a", "conv_id_b", F.lit("exact")
                     )
                 )
-            )
-
-        pairs = store.get_or_compute(
-            "p7_pairs", _pairs, ["p6_features", "p3_exact"], resume
-        )
-        # capped-bucket overflow is its own checkpoint table per leg: the
-        # manifest row count IS the counter (north_rule: capped, counted,
-        # never silent) — no extra count() jobs. When p7_pairs resumed but
-        # an overflow table is missing (killed mid-phase), it is recomputed
-        # from the features checkpoint.
-        store.get_or_compute(
-            "p7_lsh_overflow",
-            lambda: ovf_holder["mh"] if "mh" in ovf_holder
-            else minhash_pairs(features, cfg)[1],
-            ["p6_features"], resume,
-        )
-        store.get_or_compute(
-            "p7_span_overflow",
-            lambda: ovf_holder["sp"] if "sp" in ovf_holder
-            else span_pairs(features, cfg)[1],
-            ["p6_features"], resume,
+            ),
+            ["p7a_minhash_pairs", "p7b_simhash_pairs", "p7c_span_pairs",
+             "p3_exact"],
+            resume,
         )
         clusters = store.get_or_compute(
             "p8_clusters",

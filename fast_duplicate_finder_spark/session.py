@@ -46,7 +46,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python workers: 512m default causes kill/respawn (fork-storm) churn
+        # under the Arrow kernels; on a cluster this maps to
+        # spark.executor.pyspark.memory sizing
+        .config("spark.python.worker.memory", "2g")
     )
+    # shuffle/spill files on RAM-backed tmpfs when available: virtio disk
+    # syscalls in this sandbox dominate kernel time at high parallelism
+    # (measured 40% sys during shuffle-heavy stages); a real cluster uses
+    # fast local SSDs for the same role
+    if os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
