@@ -1,0 +1,144 @@
+"""Lloyd's k-means over an embedding column — pure DataFrame iteration.
+
+The codebook trainer behind a real IVF index (trainingdata.q_embedding_ivf_topk
+uses fixed seed centroids so its DuckDB oracle stays exact; this operator is
+the production path that replaces them with trained ones). Same iterative
+shape as operators/connected_components.py: driver loop, one shuffle per
+iteration, localCheckpoint to truncate lineage.
+
+Design for scale:
+* centroids live in a k x dim broadcast (k ~ sqrt(N) for IVF — thousands,
+  not millions); the assignment join is a broadcast nested loop over k
+  rows, never a shuffle of the vectors;
+* the update step is one groupBy(cluster).avg — a single map-side-combined
+  shuffle of k x dim doubles;
+* deterministic: seed centroids are the first k vec_ids, iteration count is
+  fixed, ties broken by centroid id — same input -> same codebook.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame,
+                 vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, <vec_col>, cell) — nearest centroid by squared L2, ties to
+    the lowest centroid_id. centroids: (centroid_id, centroid)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", _sq_dist(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", vec_col, F.col("centroid_id").alias("cell"))
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train a k-centroid codebook; returns (centroid_id, centroid).
+
+    Seeds = the k lowest ids (deterministic). Empty clusters keep their
+    previous centroid (standard Lloyd's fallback).
+    """
+    v = vectors.select(F.col(id_col).alias("vec_id"), vec_col)
+    seeds = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "centroid_id"
+            ),
+            F.col(vec_col).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    centroids = seeds
+    dim = len(vectors.select(vec_col).first()[0])
+    for _ in range(n_iter):
+        assigned = assign_cells(v, centroids, vec_col)
+        means = assigned.select(
+            "cell", F.posexplode(vec_col).alias("i", "x")
+        ).groupBy("cell", "i").agg(F.avg("x").alias("m"))
+        new_centroids = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s.getField("m").cast("float"),
+                ).alias("centroid")
+            )
+            .select(F.col("cell").alias("centroid_id"), "centroid")
+        )
+        # empty clusters: fall back to the previous centroid
+        centroids = (
+            centroids.alias("old")
+            .join(new_centroids.alias("new"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    assert dim > 0
+    return centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    topk: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search with a trained codebook: assign both sides to cells,
+    search within the query's cell only. Returns (vec_id, rank, neighbor_id,
+    cos). The 100 TB layout writes `assign_cells(vectors)` partitioned by
+    cell once, then each query touches ~N/k candidates."""
+    cand = assign_cells(vectors, centroids, vec_col).select(
+        F.col("vec_id").alias("nid"), F.col(vec_col).alias("nemb"), "cell"
+    )
+    q = assign_cells(queries, centroids, vec_col).select(
+        F.col("vec_id").alias("qid"), F.col(vec_col).alias("qemb"), "cell"
+    )
+    dot = F.aggregate(
+        F.zip_with("qemb", "nemb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda acc, x: acc + x)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        q.join(cand, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos", dot / (norm(F.col("qemb")) * norm(F.col("nemb"))))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

@@ -311,7 +311,22 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority"""
 
 
+def q_embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook IVF: Lloyd's k-means (8 centroids, 3 iterations,
+    deterministic seeds) then in-cell top-3 for the first 20 queries. The
+    production sibling of q_embedding_ivf_topk; no SQL oracle (float
+    averaging order makes exact cross-engine parity fragile) — rows-only
+    check, with recall-vs-brute-force pinned in tests/test_kmeans.py."""
+    from fast_duplicate_finder_spark.operators.kmeans import ivf_topk, kmeans_fit
+
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(e, k=8, n_iter=3)
+    q = e.filter(F.col("vec_id") < 20)
+    return ivf_topk(e, q, cents, topk=3).select("vec_id", "rank", "neighbor_id")
+
+
 TRAININGDATA_QUERIES = {
+    "embedding_kmeans_ivf_topk": q_embedding_kmeans_ivf_topk,
     "lang_id_confusion": q_lang_id_confusion,
     "regex_token_counts": q_regex_token_counts,
     "embedding_ivf_topk": q_embedding_ivf_topk,
