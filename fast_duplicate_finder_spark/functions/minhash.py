@@ -54,8 +54,10 @@ def minhash_batch(hash_lists: pd.Series, seeds: np.ndarray) -> pd.Series:
         hv = _mix64(flat ^ s)
         sigs[:, j] = np.minimum.reduceat(hv, starts)
     out = sigs.view(np.int64)
-    # empty docs get an all-null-equivalent signature that never collides:
-    # re-mix with the row marker so two empty docs still match each other
+    # empty docs get the all-zero signature — identical for EVERY empty doc,
+    # so empties would pairwise collide in every LSH band; callers must drop
+    # empty sets before banding (operators/neardup.minhash_pairs does — the
+    # exact cascade owns verbatim-empty duplicates)
     return pd.Series([row.tolist() for row in out]).where(
         pd.Series(lens > 0), pd.Series([[0] * len(seeds)] * len(safe))
     )

@@ -1,10 +1,15 @@
-"""Shingling + fingerprinting column expressions (JVM-side, codegen'd).
+"""Shingling + fingerprinting column expressions — the readable SPEC.
 
-The expensive per-token loops stay in the JVM: word splitting, k-shingle
-construction, base xxhash64 hashing, and winnowing fingerprint selection are
-all `F.transform`/`F.slice`/`F.array_min` compositions — Python (Arrow UDF)
-is reserved for the MinHash/SimHash permutation kernels only
-(BASELINE.json input_hint: no per-row Python).
+These higher-order-function (`F.transform`/`F.slice`/`F.array_min`)
+formulations are semantically authoritative but interpreted per-element
+(HOFs are not whole-stage-codegen'd) and were the measured non-scaling hot
+spot of round 1. Production uses the codegen'd window-function re-expressions
+in operators/neardup.py (shingle_features, winnow_fingerprint_rows); the
+differential parity test tests/test_shingle_parity.py pins the two
+formulations to each other, so this module doubles as executable
+documentation and regression oracle. `words` is shared by both paths.
+Python (Arrow UDF) remains reserved for the MinHash/SimHash permutation
+kernels only (BASELINE.json input_hint: no per-row Python).
 """
 
 from __future__ import annotations

@@ -81,10 +81,23 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_candidate_pairs(
     sims: DataFrame, max_hamming: int, id_col: str = "conv_id",
-    sim_col: str = "simhash"
-) -> DataFrame:
+    sim_col: str = "simhash", max_bucket: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
     """Pairs within ``max_hamming`` bits — pigeonhole equi-join + exact
-    popcount verification. Returns (conv_id_a, conv_id_b, hamming)."""
+    popcount verification.
+
+    Skew control (same pattern as operators/lsh.candidate_pairs): a hot
+    (chunk_id, chunk_val) bucket — skewed bit patterns over 16-bit chunks
+    are common in boilerplate-heavy corpora — would otherwise emit
+    quadratically many join rows. Buckets above ``max_bucket`` are excluded
+    from pair generation and COUNTED, never silently dropped.
+
+    Returns ``(pairs, overflow)``:
+    * pairs: (conv_id_a, conv_id_b, hamming), a < b, distinct;
+    * overflow: (chunk_id, chunk_val, bucket_n) for capped buckets.
+    """
+    from pyspark.sql import Window
+
     n_chunks = max_hamming + 1
     keyed = sims.select(
         F.col(id_col),
@@ -93,8 +106,20 @@ def simhash_candidate_pairs(
             "chunk_id", "chunk_val"
         ),
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    w = Window.partitionBy("chunk_id", "chunk_val")
+    sized = keyed.withColumn("bucket_n", F.count("*").over(w)).filter(
+        F.col("bucket_n") >= 2
+    )
+    overflow = (
+        sized.filter(F.col("bucket_n") > max_bucket)
+        .groupBy("chunk_id", "chunk_val")
+        .agg(F.first("bucket_n").alias("bucket_n"))
+    )
+    ok = sized.filter(F.col("bucket_n") <= max_bucket).select(
+        id_col, sim_col, "chunk_id", "chunk_val"
+    )
+    a = ok.alias("a")
+    b = ok.alias("b")
     pairs = (
         a.join(
             b,
@@ -112,4 +137,4 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+    return pairs, overflow

@@ -38,16 +38,13 @@ def connected_components(
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint(eager=True)
 
-    # Size the iteration shuffles to the graph, not the session default:
-    # each label-propagation round is join+agg over |E| rows, and tiny
-    # graphs at 32+ partitions pay more task latency than compute (~100k
-    # edges per partition is the sweet spot; large graphs keep the session
-    # shuffle.partitions).
-    n_edges = sym.count()
-    spark = sym.sparkSession
-    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_parts = max(1, min(sess_parts, (n_edges // 100_000) + 1))
-
+    # Iteration shuffle sizing is left to AQE partition coalescing (enabled
+    # in session.py): each label-propagation round is join+agg over |E|
+    # rows, and AQE collapses the tiny post-shuffle partitions of small
+    # graphs at runtime. (Round 1 temporarily shrank the session-global
+    # spark.sql.shuffle.partitions instead — unsafe under concurrent
+    # queries on the shared session, and the finally-restore could clobber
+    # a value a concurrent caller had changed meanwhile.)
     labels = (
         sym.select(F.col("a").alias("conv_id"))
         .distinct()
@@ -55,30 +52,25 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    try:
-        if n_parts < sess_parts:
-            spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-        for _ in range(max_iter):
-            nbr = (
-                sym.join(labels, sym.b == labels.conv_id, "inner")
-                .groupBy("a")
-                .agg(F.min("label").alias("nbr_min"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.b == labels.conv_id, "inner")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.conv_id == nbr.a, "left")
+            .select(
+                "conv_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("changed"),
             )
-            new_labels = (
-                labels.join(nbr, labels.conv_id == nbr.a, "left")
-                .select(
-                    "conv_id",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                    ).alias("label"),
-                    (F.col("nbr_min") < F.col("label")).alias("changed"),
-                )
-            ).localCheckpoint(eager=True)
-            n_changed = new_labels.filter(F.col("changed")).count()
-            labels = new_labels.drop("changed")
-            if n_changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
 
     return labels.select("conv_id", F.col("label").alias("component"))

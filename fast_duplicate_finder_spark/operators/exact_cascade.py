@@ -45,7 +45,11 @@ def prefilter(stats: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Input: conv_stats output (conv_id, size, n_turns) — no documents touched.
     """
     keys = ["size", "n_turns"] if cfg.filter_by_turns else ["size"]
-    return having_at_least(stats, keys).select(
+    # zero-size exclusion (phase_1.go:49 drops Size()==0): an empty
+    # conversation is not a duplicate of another empty conversation in any
+    # useful sense, and empties would otherwise flood one degenerate group
+    nonzero = stats.filter(F.col("size") > 0)
+    return having_at_least(nonzero, keys).select(
         "conv_id", "size", "n_turns", "group_n"
     )
 

@@ -169,6 +169,36 @@ def suppress_files_in_dup_folders(
     return file_clusters.join(suppressed, "conv_id", "left_anti")
 
 
+def folder_recursive_sizes(
+    conv_sizes: DataFrame, folders: DataFrame
+) -> DataFrame:
+    """(folder, size_chars) — recursive content size of each listed folder
+    (generate_report.go:13-33's folderSize walk, re-expressed): every conv
+    explodes to its proper ancestors, one equi-join against the folder list,
+    one sum. No per-folder recursion, no theta join.
+
+    ``conv_sizes``: (conv_id, size); ``folders``: any frame with a
+    ``folder`` column."""
+    segs = _segs(F.col("conv_id"))
+    with_anc = conv_sizes.select(
+        "size",
+        F.explode(
+            F.when(
+                F.size(segs) > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(segs) - 1),
+                    lambda i: F.array_join(F.slice(segs, F.lit(1), i), "/"),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("folder"),
+    )
+    return (
+        with_anc.join(folders.select("folder").distinct(), "folder")
+        .groupBy("folder")
+        .agg(F.sum("size").cast("long").alias("size_chars"))
+    )
+
+
 def folder_clusters(dup_folders: DataFrame) -> DataFrame:
     """Deterministic labels: cluster_id = min folder path per signature."""
     from pyspark.sql import Window

@@ -70,8 +70,9 @@ def kmeans_fit(
         )
         .localCheckpoint(eager=True)
     )
+    if not seeds.take(1):
+        raise ValueError("kmeans_fit: empty input")
     centroids = seeds
-    dim = len(vectors.select(vec_col).first()[0])
     for _ in range(n_iter):
         assigned = assign_cells(v, centroids, vec_col)
         means = assigned.select(
@@ -99,7 +100,6 @@ def kmeans_fit(
             )
             .localCheckpoint(eager=True)
         )
-    assert dim > 0
     return centroids
 
 
@@ -142,3 +142,126 @@ def ivf_topk(
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact Lloyd's — the oracle-checkable sibling of kmeans_fit
+# ---------------------------------------------------------------------------
+#
+# Float Lloyd's is deterministic only up to summation order: Spark's partial
+# aggregation adds doubles in partition order, so the trained centroids (and
+# occasionally an assignment on a near-tie) differ in the last ulp between
+# engines AND between partitionings of the same data. The exact variant
+# quantizes vectors to integers and keeps every distance / update in BIGINT
+# fixed point — associative, order-independent, bit-identical on any engine
+# (the DuckDB oracle replicates it verbatim in SQL):
+#
+# * qv_i  = round(x_i * Q_SCALE)                exact per-row, no aggregation
+# * dist  = sum((M_SCALE*qv_i - m_i)^2)         BIGINT (fits: |1024*q|<=6e7,
+#                                               squared * 64 dims < 2^63)
+# * m_i   = floor(M_SCALE*sum(qv_i)/n + 0.5)    one exact-int double division
+#
+# Quantization error (1e-4 relative) is irrelevant for codebook training;
+# tie-breaks (dist, then centroid_id) are exact-integer comparisons.
+
+Q_SCALE = 10_000
+M_SCALE = 1024
+
+
+def quantize_vectors(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, qv) — BIGINT-quantized copies of the vectors."""
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _int_dist(qv, m):
+    scale = F.lit(M_SCALE).cast("long")
+    return F.aggregate(
+        F.zip_with(qv, m, lambda x, y: (scale * x - y) * (scale * x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells_exact(qvecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, qv, cell) — nearest centroid by exact integer squared L2,
+    ties to the lowest centroid_id. centroids: (centroid_id, m) in M-scale."""
+    scored = qvecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", _int_dist(F.col("qv"), F.col("m"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "qv", F.col("centroid_id").alias("cell"))
+    )
+
+
+def kmeans_fit_exact(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Integer-exact Lloyd's codebook; returns (centroid_id, m) with m in
+    M_SCALE fixed point. Seeds = the k lowest ids; empty cells keep their
+    previous centroid. Same broadcast-assign + single k x dim shuffle shape
+    as kmeans_fit."""
+    v = quantize_vectors(vectors, vec_col, id_col)
+    scale = F.lit(M_SCALE).cast("long")
+    seeds = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "centroid_id"
+            ),
+            F.transform(F.col("qv"), lambda x: scale * x).alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if not seeds.take(1):
+        raise ValueError("kmeans_fit_exact: empty input")
+    centroids = seeds
+    for _ in range(n_iter):
+        assigned = assign_cells_exact(v, centroids)
+        sums = (
+            assigned.select("cell", F.posexplode("qv").alias("j", "x"))
+            .groupBy("cell", "j")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        )
+        upd = (
+            sums.withColumn(
+                "mj",
+                F.floor(
+                    F.col("s").cast("double") * float(M_SCALE) / F.col("n")
+                    + 0.5
+                ).cast("long"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mj"))),
+                    lambda st: st.getField("mj"),
+                ).alias("m_new")
+            )
+            .select(F.col("cell").alias("centroid_id"), "m_new")
+        )
+        centroids = (
+            centroids.alias("old")
+            .join(upd.alias("new"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new.m_new"), F.col("old.m")).alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids

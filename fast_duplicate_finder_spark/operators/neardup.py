@@ -100,12 +100,18 @@ def minhash_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """MinHash/LSH candidates verified by exact Jaccard >= tau."""
     mh = make_minhash_udf(cfg.lsh_perms_used, cfg.minhash_seed)
+    # empty shingle sets are dropped BEFORE signing (like the simhash leg):
+    # every empty doc gets the identical all-zero signature, so they would
+    # all collide in every band and then "verify" at jaccard 1.0 through
+    # the expensive path — the exact cascade owns verbatim-empty dups.
     # eager: the band self-join + bucket-size window would otherwise
     # re-evaluate the Arrow kernel once per probe side (at 10^12 scale the
     # signatures are their own checkpoint table — see plans/pipeline.py)
-    sigs = features.select(
-        "conv_id", mh("shset").alias("minhash")
-    ).localCheckpoint(eager=True)
+    sigs = (
+        features.filter(F.size("shset") > 0)
+        .select("conv_id", mh("shset").alias("minhash"))
+        .localCheckpoint(eager=True)
+    )
     bands = lsh_band_rows(sigs, cfg)
     cands, overflow = candidate_pairs(bands, cfg)
     verified = verify_jaccard(
@@ -114,8 +120,12 @@ def minhash_pairs(
     return verified, overflow
 
 
-def simhash_pairs(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """SimHash fuzz pass: Hamming <= h (exact by construction)."""
+def simhash_pairs(
+    features: DataFrame, cfg: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """SimHash fuzz pass: Hamming <= h (exact by construction). Returns
+    (pairs, overflow) — capped hot chunk buckets are counted like the LSH
+    band buckets, never silently dropped."""
     # empty docs share simhash 0; drop them (an empty doc is not a fuzz
     # match of another empty doc in any useful sense; exact cascade owns it).
     # eager: the pigeonhole self-join would re-run the Arrow kernel per side.
@@ -124,32 +134,28 @@ def simhash_pairs(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .select("conv_id", simhash_udf("shset").alias("simhash"))
         .localCheckpoint(eager=True)
     )
-    return simhash_candidate_pairs(sims, cfg.simhash_hamming)
+    return simhash_candidate_pairs(
+        sims, cfg.simhash_hamming, max_bucket=cfg.max_band_bucket
+    )
 
 
-def span_pairs(
-    features: DataFrame, cfg: PipelineConfig
-) -> tuple[DataFrame, DataFrame]:
-    """Shared-span pass: winnowing fingerprints -> candidates -> exact
-    longest-common-run verification. Deterministic recall for spans >=
-    winnow window + k - 1 == span_min_tokens."""
-    window = max(cfg.span_min_tokens - cfg.shingle_k + 1, 1)
-    # Window-function winnowing (sliding-window min over posexploded gram
-    # hashes): same fingerprint set as functions/shingles.winnow_fingerprints
-    # but codegen'd O(n) instead of an interpreted O(n*window) HOF — and
-    # eager-checkpointed because it feeds the bucket-size window plus both
-    # sides of the candidate self-join.
-    from pyspark.sql import Window as W
+def winnow_fingerprint_rows(features: DataFrame, window: int) -> DataFrame:
+    """(conv_id, fp) distinct winnowing fingerprints via window functions.
 
+    Same fingerprint set as functions/shingles.winnow_fingerprints (the
+    readable HOF spec, kept as the differential-parity oracle in
+    tests/test_shingle_parity.py) but codegen'd O(n) instead of an
+    interpreted O(n*window) HOF — sliding-window min over posexploded gram
+    hashes. Eager-checkpointed by the caller when it feeds a self-join."""
     g = features.select(
         "conv_id", F.posexplode("grams").alias("pos", "gh")
     )
     w_frame = (
-        W.partitionBy("conv_id").orderBy("pos")
-        .rowsBetween(W.currentRow, window - 1)
+        Window.partitionBy("conv_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
     )
-    w_doc = W.partitionBy("conv_id")
-    fps = (
+    w_doc = Window.partitionBy("conv_id")
+    return (
         g.withColumn("wmin", F.min("gh").over(w_frame))
         .withColumn("ng", F.count("*").over(w_doc))
         .withColumn("full_min", F.min("gh").over(w_doc))
@@ -164,8 +170,19 @@ def span_pairs(
         )
         .select("conv_id", "fp")
         .distinct()
-        .localCheckpoint(eager=True)
     )
+
+
+def span_pairs(
+    features: DataFrame, cfg: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Shared-span pass: winnowing fingerprints -> candidates -> exact
+    longest-common-run verification. Deterministic recall for spans >=
+    winnow window + k - 1 == span_min_tokens."""
+    window = max(cfg.span_min_tokens - cfg.shingle_k + 1, 1)
+    fps = winnow_fingerprint_rows(features, window).localCheckpoint(
+        eager=True
+    )  # feeds the bucket-size window plus both sides of the self-join
     cands, overflow = fingerprint_candidate_pairs(fps, cfg)
     with_grams = attach_pair_payload(
         cands, features.select("conv_id", "grams"), "grams"
@@ -192,7 +209,7 @@ def run_near_dup(
 ) -> dict[str, DataFrame]:
     features = shingle_features(docs, cfg).localCheckpoint(eager=False)
     mh_pairs, mh_overflow = minhash_pairs(features, cfg)
-    sh_pairs = simhash_pairs(features, cfg)
+    sh_pairs, sh_overflow = simhash_pairs(features, cfg)
     sp_pairs, sp_overflow = span_pairs(features, cfg)
 
     tagged = (
@@ -221,5 +238,6 @@ def run_near_dup(
         "pairs": tagged,
         "clusters": clusters,
         "lsh_overflow": mh_overflow,
+        "simhash_overflow": sh_overflow,
         "span_overflow": sp_overflow,
     }

@@ -78,34 +78,66 @@ def run_pipeline(
     resume: bool = True,
     with_near_dup: bool = True,
     with_groups: bool = True,
+    input_snapshot: str | None = None,
+    progress=None,
+    cancel=None,
 ) -> Report:
-    store = CheckpointStore(spark, checkpoint_dir, cfg.fingerprint())
+    """``input_snapshot``: storage.parquet_snapshot_id of the input (or an
+    Iceberg snapshot id) — a resume refuses checkpoints of a different
+    input. ``progress``: plans.progress.ProgressReporter (or None).
+    ``cancel``: plans.progress.CancelToken (or None) — checked at every
+    phase boundary, like the reference's ctx checks between phases
+    (run_finder.go:45-79)."""
+    from fast_duplicate_finder_spark.plans.progress import (
+        CancelToken,
+        ProgressReporter,
+    )
 
-    stats = store.get_or_compute(
-        "p0_stats", lambda: conv_stats(transcripts), ["input"], resume
+    progress = progress or ProgressReporter()
+    cancel = cancel or CancelToken(spark)
+    store = CheckpointStore(
+        spark, checkpoint_dir, cfg.fingerprint(), snapshot_id=input_snapshot
     )
-    p1 = store.get_or_compute(
-        "p1_prefilter", lambda: prefilter(stats, cfg), ["p0_stats"], resume
+    n_phases = 6 + (3 if with_groups else 0) + (7 if with_near_dup else 0)
+    counter = {"i": 0}
+
+    def run_phase(phase, compute, lineage):
+        """Phase boundary: cancellation check + job-group tagging + progress
+        fanout around the checkpointed compute (run_finder.go:45-79's
+        between-phase ctx checks; status.go:55-81's callback fanout)."""
+        cancel.check()
+        counter["i"] += 1
+        cancel.enter_phase(phase)
+        progress.phase_start(phase, counter["i"], n_phases)
+        out = store.get_or_compute(phase, compute, lineage, resume)
+        progress.phase_done(
+            phase, counter["i"], n_phases,
+            store.metrics[-1] if store.metrics else {},
+        )
+        return out
+
+    stats = run_phase(
+        "p0_stats", lambda: conv_stats(transcripts), ["input"]
     )
-    docs = store.get_or_compute(
+    p1 = run_phase(
+        "p1_prefilter", lambda: prefilter(stats, cfg), ["p0_stats"]
+    )
+    docs = run_phase(
         "p1_docs",
         lambda: assemble_conversations(transcripts, only_convs=p1),
         ["input", "p1_prefilter"],
-        resume,
     )
-    p2 = store.get_or_compute(
+    p2 = run_phase(
         "p2_partial",
         lambda: partial_hash_stage(docs, cfg).select(
             "conv_id", "doc", "size", "n_turns"
         ),
         ["p1_docs"],
-        resume,
     )
-    p3 = store.get_or_compute(
+    p3 = run_phase(
         "p3_exact",
         lambda: exact_clusters(full_hash_stage(p2)),
         ["p2_partial"],
-        resume,
     )
 
     if with_groups:
@@ -114,24 +146,21 @@ def run_pipeline(
             "conv_id",
             "left",
         ).fillna({"is_dup": False})
-        sigs = store.get_or_compute(
+        sigs = run_phase(
             "p4_group_sigs",
             lambda: folder_signatures(conv_hashes, cfg),
             ["p0_stats", "p3_exact"],
-            resume,
         )
         dups = duplicate_folders(sigs)
-        top = store.get_or_compute(
+        top = run_phase(
             "p5_groups",
             lambda: folder_clusters(suppress_nested(dups)),
             ["p4_group_sigs"],
-            resume,
         )
-        files_kept = store.get_or_compute(
+        files_kept = run_phase(
             "p5_files_filtered",
             lambda: suppress_files_in_dup_folders(p3, dups),
             ["p3_exact", "p4_group_sigs"],
-            resume,
         )
     else:
         top = spark.createDataFrame(
@@ -144,17 +173,15 @@ def run_pipeline(
         # expressions) but docs come from the p1_docs checkpoint.
         # Near-dup legs consider ALL assembled docs, not only exact-cascade
         # survivors: near-dups differ in size, so assemble everything here.
-        all_docs = store.get_or_compute(
+        all_docs = run_phase(
             "p6_all_docs",
             lambda: assemble_conversations(transcripts),
             ["input"],
-            resume,
         )
-        features = store.get_or_compute(
+        features = run_phase(
             "p6_features",
             lambda: shingle_features(all_docs, cfg),
             ["p6_all_docs"],
-            resume,
         )
 
         # Each near-dup leg is its own checkpointed phase: finer-grained
@@ -163,44 +190,53 @@ def run_pipeline(
         # as separate jobs at high core counts (three Arrow-UDF stage trees
         # competing inside one DAG). Overflow tables are phases too — the
         # manifest row count IS the counter (capped, counted, never silent).
-        ovf_holder: dict[str, DataFrame] = {}
+        # A leg's pairs + overflow are written in ONE pass: a resume that
+        # finds either table missing recomputes the leg once, not twice.
+        def _leg_with_overflow(pairs_phase, ovf_phase, fn):
+            cancel.check()
+            counter["i"] += 1
+            cancel.enter_phase(pairs_phase)
+            progress.phase_start(pairs_phase, counter["i"], n_phases)
+            if (
+                resume
+                and store.exists(pairs_phase)
+                and store.exists(ovf_phase)
+            ):
+                store.metrics.append({"phase": pairs_phase, "resumed": True})
+                out = store.read(pairs_phase)
+            else:
+                leg_pairs, leg_ovf = fn()
+                out = store.write(
+                    leg_pairs, pairs_phase, lineage=["p6_features"]
+                )
+                store.write(leg_ovf, ovf_phase, lineage=["p6_features"])
+            progress.phase_done(
+                pairs_phase, counter["i"], n_phases,
+                store.metrics[-1] if store.metrics else {},
+            )
+            return out
 
-        def _mh() -> DataFrame:
-            mh, ovf = minhash_pairs(features, cfg)
-            ovf_holder["mh"] = ovf
-            return mh.select("conv_id_a", "conv_id_b", "jaccard")
-
-        mh_pairs_df = store.get_or_compute(
-            "p7a_minhash_pairs", _mh, ["p6_features"], resume
-        )
-        store.get_or_compute(
+        mh_pairs_df = _leg_with_overflow(
+            "p7a_minhash_pairs",
             "p7a_lsh_overflow",
-            lambda: ovf_holder["mh"] if "mh" in ovf_holder
-            else minhash_pairs(features, cfg)[1],
-            ["p6_features"], resume,
+            lambda: (
+                lambda mh, ovf: (
+                    mh.select("conv_id_a", "conv_id_b", "jaccard"), ovf
+                )
+            )(*minhash_pairs(features, cfg)),
         )
-        sh_pairs_df = store.get_or_compute(
+        sh_pairs_df = _leg_with_overflow(
             "p7b_simhash_pairs",
+            "p7b_simhash_overflow",
             lambda: simhash_pairs(features, cfg),
-            ["p6_features"], resume,
         )
-
-        def _sp() -> DataFrame:
-            sp, ovf = span_pairs(features, cfg)
-            ovf_holder["sp"] = ovf
-            return sp
-
-        sp_pairs_df = store.get_or_compute(
-            "p7c_span_pairs", _sp, ["p6_features"], resume
-        )
-        store.get_or_compute(
+        sp_pairs_df = _leg_with_overflow(
+            "p7c_span_pairs",
             "p7c_span_overflow",
-            lambda: ovf_holder["sp"] if "sp" in ovf_holder
-            else span_pairs(features, cfg)[1],
-            ["p6_features"], resume,
+            lambda: span_pairs(features, cfg),
         )
 
-        pairs = store.get_or_compute(
+        pairs = run_phase(
             "p7_pairs",
             lambda: (
                 mh_pairs_df.select(
@@ -220,15 +256,13 @@ def run_pipeline(
             ),
             ["p7a_minhash_pairs", "p7b_simhash_pairs", "p7c_span_pairs",
              "p3_exact"],
-            resume,
         )
-        clusters = store.get_or_compute(
+        clusters = run_phase(
             "p8_clusters",
             lambda: connected_components(
                 pairs.select("conv_id_a", "conv_id_b").distinct()
             ),
             ["p7_pairs"],
-            resume,
         )
     else:
         pairs = spark.createDataFrame(
@@ -236,11 +270,10 @@ def run_pipeline(
         )
         clusters = spark.createDataFrame([], "conv_id string, component string")
 
-    summary_df = store.get_or_compute(
+    summary_df = run_phase(
         "report_summary",
         lambda: report_mod.summarize(p3, top, clusters),
         ["p3_exact", "p5_groups", "p8_clusters"],
-        resume,
     )
     summary = {k: v for k, v in summary_df.collect()[0].asDict().items()}
     return Report(

@@ -77,17 +77,34 @@ def file_sets_report(exact_clusters: DataFrame, max_sets: int = 1000) -> DataFra
     )
 
 
-def folder_sets_report(top_folders: DataFrame, max_sets: int = 1000) -> DataFrame:
-    return (
-        top_folders.groupBy("cluster_id")
-        .agg(
-            hash_hex(F.first("sig")).alias("sig12"),
-            F.sort_array(F.collect_list("folder")).alias("members"),
-            F.count("*").alias("n_members"),
+def folder_sets_report(
+    top_folders: DataFrame,
+    folder_sizes: DataFrame | None = None,
+    max_sets: int = 1000,
+) -> DataFrame:
+    """Folder duplicate sets; with ``folder_sizes`` (from
+    operators.group_dedup.folder_recursive_sizes) each set also reports the
+    recursive member size and wasted space — FolderSet.sizeBytes parity
+    (generate_report.go:13-33). Members of a set share a Merkle signature,
+    hence identical recursive content; max() is just a deterministic pick."""
+    tf = top_folders
+    if folder_sizes is not None:
+        tf = tf.join(folder_sizes, "folder", "left")
+    aggs = [
+        hash_hex(F.first("sig")).alias("sig12"),
+        F.sort_array(F.collect_list("folder")).alias("members"),
+        F.count("*").alias("n_members"),
+    ]
+    if folder_sizes is not None:
+        aggs.append(
+            F.coalesce(F.max("size_chars"), F.lit(0)).alias("size_chars")
         )
-        .orderBy("sig12")
-        .limit(max_sets)
-    )
+    out = tf.groupBy("cluster_id").agg(*aggs)
+    if folder_sizes is not None:
+        out = out.withColumn(
+            "wasted_chars", F.col("size_chars") * (F.col("n_members") - 1)
+        )
+    return out.orderBy("sig12").limit(max_sets)
 
 
 def stringify_report(file_sets: list, folder_sets: list, summary: dict) -> str:

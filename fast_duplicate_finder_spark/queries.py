@@ -253,21 +253,53 @@ def _shingle_rows(c: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+_JACCARD_DF_CAP = 64  # blocking df-cap: a shingle shared by more docs is
+                      # corpus boilerplate, not a pair signal (the skew cap
+                      # of operators/lsh.py expressed portably — round 1's
+                      # uncapped self-join was the flagged scale-killer)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT all-pairs word-3-gram Jaccard >= 0.5 via shared-shingle
-    blocking (recall 1.0 for tau > 0: any tau-pair shares a shingle).
-    The deterministic sibling of the MinHash path."""
+    """EXACT word-3-gram Jaccard >= 0.5 via document-frequency-capped
+    shared-shingle blocking + exact per-candidate verification.
+
+    Blocking: only shingles present in <= _JACCARD_DF_CAP docs generate
+    candidates (hot boilerplate shingles would make the self-join quadratic
+    at corpus scale). Verification: the intersection count for surviving
+    candidates uses ALL shingles, so reported jaccard values are exact; a
+    tau-pair is missed only if EVERY shared shingle is boilerplate — the
+    identical rule is applied in the oracle."""
     c = dup_corpus(spark, sf_dir)
     sh = _shingle_rows(c)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    w_df = Window.partitionBy("s")
+    rare = (
+        sh.withColumn("df", F.count("*").over(w_df))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _JACCARD_DF_CAP))
+        .select("doc_id", "s")
+    )
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
+        .distinct()
+    )
+    # exact verify: intersection over ALL shingles, restricted to candidates
+    inter = (
+        cand.join(sh.alias("sa"), cand.doc_id_a == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (cand.doc_id_b == F.col("sb.doc_id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count("*").alias("i"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
@@ -306,7 +338,27 @@ JOIN sizes sb ON sb.doc_id = doc_id_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= {tau}"""
 
 
-ORACLE_JACCARD = _oracle_jaccard(0.5)
+ORACLE_JACCARD = f"""WITH {CORPUS_CTE},
+{_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT doc_id, s FROM sh
+  QUALIFY count(*) OVER (PARTITION BY s) BETWEEN 2 AND {_JACCARD_DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT doc_id_a, doc_id_b, count(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_id_a
+  JOIN sh sb ON sb.doc_id = doc_id_b AND sb.s = sa.s
+  GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5"""
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,30 +396,107 @@ ORACLE_MINHASH = _oracle_jaccard(0.7)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fuzz pairs (no SQL oracle — rows-only check)."""
-    from fast_duplicate_finder_spark.operators.neardup import (
-        shingle_features,
-        simhash_pairs,
+    """SimHash fuzz pairs through the REAL operator path (Arrow bit-vote
+    kernel + capped pigeonhole join), made fully oracle-checkable: the
+    shingle hash is md5-derived (identical in Spark and DuckDB) instead of
+    xxhash64, so DuckDB can replicate the 64 bit-votes, the 4x16-bit chunk
+    keys, the bucket cap, and the exact Hamming verification in SQL. The
+    pipeline leg keeps xxhash64 (cheaper); the kernel is hash-agnostic."""
+    from fast_duplicate_finder_spark.functions.simhash import (
+        simhash_candidate_pairs,
+        simhash_udf,
     )
 
     c = dup_corpus(spark, sf_dir)
-    docs = c.select(
-        F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("conv_id"),
-        F.col("text").alias("doc"),
+    k = CFG.shingle_k
+    ws = F.split(F.col("text"), " ")
+    shingle_strs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+        )
     )
-    pairs = simhash_pairs(
-        shingle_features(docs, CFG)
-        .select("conv_id", "shset")
-        .localCheckpoint(eager=True),
-        CFG,
+    rows = c.filter(F.size(ws) >= k).select(
+        "doc_id", F.explode(shingle_strs).alias("s")
     )
-    ia = F.col("conv_id_a").cast("long")
-    ib = F.col("conv_id_b").cast("long")
+    md5 = F.md5("s")
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    sets = (
+        rows.select("doc_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("shset"))
+    )
+    sims = sets.select(
+        F.col("doc_id").alias("conv_id"), simhash_udf("shset").alias("simhash")
+    ).localCheckpoint(eager=True)
+    pairs, _ = simhash_candidate_pairs(
+        sims, CFG.simhash_hamming, max_bucket=CFG.max_band_bucket
+    )
     return pairs.select(
-        F.least(ia, ib).alias("doc_id_a"),
-        F.greatest(ia, ib).alias("doc_id_b"),
-        "hamming",
+        F.col("conv_id_a").alias("doc_id_a"),
+        F.col("conv_id_b").alias("doc_id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replica of the simhash kernel + pigeonhole join: md5-derived
+    64-bit shingle hashes (hi/lo 32-bit halves), per-bit +-1 votes, 4x16-bit
+    chunk keys, bucket cap, popcount(XOR) Hamming <= h."""
+    h = CFG.simhash_hamming
+    cap = CFG.max_band_bucket
+    votes = ",\n    ".join(
+        [
+            f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+            for b in range(32)
+        ]
+        + [
+            f"sum(CASE WHEN (hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{32 + b}"
+            for b in range(32)
+        ]
+    )
+    chunks = ",\n    ".join(
+        "("
+        + " | ".join(
+            f"(CASE WHEN v{c * 16 + j} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {j})"
+            for j in range(16)
+        )
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    return f"""WITH {CORPUS_CTE},
+{_ORACLE_SHINGLES},
+hl AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
+  FROM sh),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hl GROUP BY doc_id),
+sig AS (
+  SELECT doc_id,
+    {chunks}
+  FROM votes),
+keyed AS (
+  SELECT doc_id, c0, c1, c2, c3, ch.chunk_id,
+         CASE ch.chunk_id WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+              ELSE c3 END AS chunk_val
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS chunk_id) ch),
+capped AS (
+  SELECT * FROM keyed
+  QUALIFY count(*) OVER (PARTITION BY chunk_id, chunk_val) <= {cap})
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       ({hamming})::BIGINT AS hamming
+FROM capped a
+JOIN capped b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id
+WHERE {hamming} <= {h}"""
+
+
+ORACLE_SIMHASH = _simhash_oracle()
 
 
 def q_winnow_span_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,26 +721,35 @@ GROUP BY event_type"""
 # ---------------------------------------------------------------------------
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money columns are exact 2-decimal values, so the aggregation runs in
+    integer cents (BIGINT — exact, associative, order-independent across
+    engines and partitionings) with ONE double division at the edge.
+    Round 1's DECIMAL(38,4) sums were value-identical to the oracle but
+    hash-diverged in the driver's canonicalization of DECIMAL outputs; a
+    BIGINT sum divided by a power of ten is bit-identical everywhere."""
     li = _load(spark, sf_dir, "lineitem")
-    dec = lambda c: c.cast("decimal(38,4)")  # noqa: E731
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    qty_c = cents(F.col("l_quantity"))
+    price_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "sum_disc_price"
-            ),
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)) / 10000.0).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
 
 
 ORACLE_TPCH_Q1 = """SELECT l_returnflag, l_linestatus,
-       sum(cast(l_quantity AS DECIMAL(38,4))) AS sum_qty,
-       sum(cast(l_extendedprice AS DECIMAL(38,4))) AS sum_base_price,
-       sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
+       sum(round(l_quantity * 100)::BIGINT)::DOUBLE / 100.0 AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT)::DOUBLE / 100.0 AS sum_base_price,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::DOUBLE / 10000.0
+         AS sum_disc_price,
        count(*)::BIGINT AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus"""
@@ -775,7 +913,7 @@ ORACLES = {
     "group_signature_dups": ORACLE_GROUP_SIG,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
     "minhash_lsh_pairs": ORACLE_MINHASH,
-    # simhash_pairs: no SQL oracle (rows-only)
+    "simhash_pairs": ORACLE_SIMHASH,
     "winnow_span_candidates": ORACLE_WINNOW,
     "connected_components_exact": ORACLE_CC,
     "token_stats": ORACLE_TOKEN_STATS,

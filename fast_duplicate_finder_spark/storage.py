@@ -22,11 +22,38 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def parquet_snapshot_id(path: str) -> str:
+    """Snapshot id of a parquet input directory (or single file): a stable
+    hash of every data file's (relative path, size, mtime). The Iceberg
+    analogue is the table's snapshot id; this is the reference's
+    size-stability recheck (phase_3.go:36-46) lifted to whole-input
+    granularity — a resumed run whose input changed under it must NOT
+    silently mix old checkpoints with new data."""
+    import hashlib
+
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                if name.startswith("_") or name.startswith("."):
+                    continue
+                fp = os.path.join(root, name)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    blob = "\n".join(sorted(entries)).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
 
 
 @dataclass
@@ -35,6 +62,9 @@ class CheckpointStore:
     base_dir: str
     fingerprint: str
     table_format: str = "parquet"  # "iceberg" when runtime jar present
+    snapshot_id: str | None = None  # input snapshot (parquet_snapshot_id /
+                                    # Iceberg snapshot); resume refuses a
+                                    # checkpoint taken of a different input
     metrics: list[dict] = field(default_factory=list)
 
     def _dir(self, phase: str) -> str:
@@ -52,7 +82,11 @@ class CheckpointStore:
                 m = json.load(f)
         except (OSError, json.JSONDecodeError):
             return False
-        return m.get("fingerprint") == self.fingerprint and m.get("complete")
+        if m.get("fingerprint") != self.fingerprint or not m.get("complete"):
+            return False
+        if self.snapshot_id is not None and m.get("snapshot_id") is not None:
+            return m["snapshot_id"] == self.snapshot_id
+        return True
 
     def write(
         self,
@@ -66,19 +100,36 @@ class CheckpointStore:
         phase boundaries)."""
         path = self._dir(phase)
         data_path = os.path.join(path, "data")
-        # Guarantee downstream parallelism: AQE coalesces small phase
-        # outputs to one or two partitions, and a 1-file parquet checkpoint
-        # then feeds every later stage (including the Arrow UDF kernels) as
-        # a SINGLE task no matter how many executors exist — measured as
-        # p6/p7 running 38 s/54 s flat at both local[8] and local[32].
-        # Checkpoints are therefore written with `defaultParallelism`
-        # partitions (on a cluster that is executors x cores, so the floor
-        # rises with the cluster; the one extra round-robin shuffle per
-        # phase also balances the checkpoint files, making the per-partition
-        # counters meaningful).
+        # Guarantee downstream parallelism WITHOUT a blanket shuffle: AQE
+        # coalesces small phase outputs to one or two files, and a 1-file
+        # parquet checkpoint then feeds every later stage (including the
+        # Arrow UDF kernels) as a SINGLE task no matter how many executors
+        # exist — measured as p6/p7 running 38 s/54 s flat at both local[8]
+        # and local[32]. Round 1 unconditionally repartitioned EVERY output
+        # to defaultParallelism — at 100 TB that is an extra all-data
+        # exchange per phase for the biggest tables, which need none: a
+        # large checkpoint re-splits at maxPartitionBytes on read anyway.
+        # Now: write as produced; only when the result is BOTH few-file and
+        # small (where the rewrite is by construction cheap) rebalance it
+        # to defaultParallelism in a second pass.
         target = self.spark.sparkContext.defaultParallelism
-        df = df.repartition(target)
         df.write.mode("overwrite").parquet(data_path)
+        try:
+            files = [
+                e
+                for e in os.scandir(data_path)
+                if e.name.endswith(".parquet") and e.is_file()
+            ]
+            n_files = len(files)
+            total_bytes = sum(e.stat().st_size for e in files)
+        except OSError:
+            n_files, total_bytes = target, 0
+        if n_files < target and total_bytes < (256 << 20):
+            rebal = self.spark.read.parquet(data_path).repartition(target)
+            tmp_path = data_path + ".rebal"
+            rebal.write.mode("overwrite").parquet(tmp_path)
+            shutil.rmtree(data_path)
+            os.replace(tmp_path, data_path)
         out = self.spark.read.parquet(data_path)
         per_part = (
             out.groupBy(F.spark_partition_id().alias("pid"))
@@ -89,6 +140,7 @@ class CheckpointStore:
             "phase": phase,
             "fingerprint": self.fingerprint,
             "format": self.table_format,
+            "snapshot_id": self.snapshot_id,
             "rows": int(sum(r["count"] for r in per_part)),
             "partitions": {str(r["pid"]): int(r["count"]) for r in per_part},
             "lineage": lineage or [],

@@ -78,21 +78,28 @@ def _dedup_batch(
             seen.select("fhash", F.col("conv_id").alias("first_conv_id")),
             "fhash",
         )
-        dup_hits.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(os.path.join(dups_dir, "data"))
         new_rows = hashed.join(
             seen.select("fhash"), "fhash", "left_anti"
         )
     else:
+        dup_hits = None
         new_rows = hashed
     # first occurrence per hash inside the batch becomes state; the rest are
     # intra-batch duplicates
     w_first = F.min("conv_id").over(Window.partitionBy("fhash"))
     tagged = new_rows.withColumn("first_conv_id", w_first)
     intra_dups = tagged.filter(F.col("conv_id") != F.col("first_conv_id"))
-    intra_dups.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
-        "append"
+    dups = (
+        dup_hits.unionByName(intra_dups) if dup_hits is not None else intra_dups
+    )
+    # ONE epoch-partitioned dynamic-overwrite write makes the dup log
+    # idempotent under at-least-once replay: a re-run epoch (including a
+    # crash between the dup-log and state writes) overwrites exactly its own
+    # epoch partition instead of appending a second copy.
+    dups.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "epoch_id"
     ).parquet(os.path.join(dups_dir, "data"))
     firsts = tagged.filter(F.col("conv_id") == F.col("first_conv_id")).select(
         "fhash", "conv_id", "size"

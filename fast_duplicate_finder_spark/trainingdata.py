@@ -284,7 +284,13 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1997-06-01"
     )
-    dec = lambda c: c.cast("decimal(38,4)")  # noqa: E731
+    # exact integer-cents aggregation (see q_tpch_q1): BIGINT sums are
+    # order-independent and hash-canonical across engines, unlike the
+    # round-1 DECIMAL(38,4) formulation
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    revenue_u = cents(F.col("l_extendedprice")) * (
+        100 - cents(F.col("l_discount"))
+    )
     return (
         li.join(
             orders.join(
@@ -294,15 +300,13 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .alias("revenue")
-        )
+        .agg((F.sum(revenue_u) / 10000.0).alias("revenue"))
     )
 
 
 ORACLE_TPCH_Q3 = """SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS revenue
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::DOUBLE / 10000.0 AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -311,18 +315,117 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority"""
 
 
+_KM_K = 8
+_KM_ITER = 3
+_KM_TOPK = 3
+
+
 def q_embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-codebook IVF: Lloyd's k-means (8 centroids, 3 iterations,
-    deterministic seeds) then in-cell top-3 for the first 20 queries. The
-    production sibling of q_embedding_ivf_topk; no SQL oracle (float
-    averaging order makes exact cross-engine parity fragile) — rows-only
-    check, with recall-vs-brute-force pinned in tests/test_kmeans.py."""
-    from fast_duplicate_finder_spark.operators.kmeans import ivf_topk, kmeans_fit
+    """Trained-codebook IVF with the INTEGER-EXACT Lloyd's trainer
+    (operators/kmeans.kmeans_fit_exact): vectors quantized to BIGINT, every
+    distance/update in fixed point, so the trained codebook — and therefore
+    the cell assignment — is bit-identical across engines and partitionings,
+    and DuckDB can replay the full 3-iteration training in SQL (round 1
+    carried this query as a no-oracle row because float Lloyd's is only
+    deterministic up to summation order). In-cell top-3 for the first 20
+    queries by exact cosine of the ORIGINAL float embeddings (same
+    cross-engine-stable expression as the green embedding_topk oracle).
+    The float kmeans_fit path keeps its recall-vs-brute-force pin in
+    tests/test_kmeans.py."""
+    from fast_duplicate_finder_spark.operators.kmeans import (
+        assign_cells_exact,
+        kmeans_fit_exact,
+        quantize_vectors,
+    )
 
     e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_fit(e, k=8, n_iter=3)
-    q = e.filter(F.col("vec_id") < 20)
-    return ivf_topk(e, q, cents, topk=3).select("vec_id", "rank", "neighbor_id")
+    cents = kmeans_fit_exact(e, k=_KM_K, n_iter=_KM_ITER)
+    assigned = assign_cells_exact(quantize_vectors(e), cents).select(
+        "vec_id", "cell"
+    )
+    placed = assigned.join(e, "vec_id")
+    q = placed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), "cell"
+    )
+    n = placed.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nemb"), "cell"
+    )
+    w_top = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        q.join(n, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos", _cosine(F.col("qemb"), F.col("nemb")))
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _KM_TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+        )
+    )
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB replica of kmeans_fit_exact + in-cell top-k: the 3 Lloyd's
+    iterations are unrolled as CTE pairs (assign a{i} under codebook c{i},
+    update c{i+1} with empty-cell fallback). All arithmetic is BIGINT fixed
+    point — bit-identical to the Spark operator by construction."""
+    dist = (
+        "list_sum(list_transform(range(1, len(q.qv) + 1), "
+        "j -> (1024 * q.qv[j] - c.m[j]) * (1024 * q.qv[j] - c.m[j])))"
+    )
+    parts = [
+        f"""qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(x::DOUBLE * 10000)::BIGINT) AS qv
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         list_transform(qv, x -> 1024 * x) AS m
+  FROM qv ORDER BY vec_id LIMIT {_KM_K})"""
+    ]
+    for i in range(_KM_ITER):
+        parts.append(f"""a{i} AS (
+  SELECT q.vec_id, q.qv, c.centroid_id AS cell
+  FROM qv q CROSS JOIN c{i} c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY {dist} ASC, c.centroid_id ASC) = 1),
+u{i} AS (
+  SELECT cell AS centroid_id,
+         list(floor(1024.0 * s / n + 0.5)::BIGINT ORDER BY j) AS m
+  FROM (SELECT cell, j, sum(x) AS s, count(*) AS n
+        FROM (SELECT cell, unnest(qv) AS x,
+                     unnest(range(1, len(qv) + 1)) AS j
+              FROM a{i})
+        GROUP BY cell, j)
+  GROUP BY cell),
+c{i + 1} AS (
+  SELECT p.centroid_id, coalesce(u.m, p.m) AS m
+  FROM c{i} p LEFT JOIN u{i} u USING (centroid_id))""")
+    parts.append(f"""afinal AS (
+  SELECT q.vec_id, c.centroid_id AS cell
+  FROM qv q CROSS JOIN c{_KM_ITER} c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY {dist} ASC, c.centroid_id ASC) = 1),
+placed AS (
+  SELECT a.vec_id, a.cell, e.embedding
+  FROM afinal a JOIN embeddings e USING (vec_id))""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT q.vec_id AS vec_id,
+       row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                                   n.vec_id ASC) AS rank,
+       n.vec_id AS neighbor_id
+FROM placed q JOIN placed n ON q.cell = n.cell AND q.vec_id != n.vec_id
+WHERE q.vec_id < 20
+QUALIFY rank <= {_KM_TOPK}"""
+    )
+
+
+ORACLE_KMEANS_IVF = _kmeans_oracle()
 
 
 TRAININGDATA_QUERIES = {
@@ -335,6 +438,7 @@ TRAININGDATA_QUERIES = {
 }
 
 TRAININGDATA_ORACLES = {
+    "embedding_kmeans_ivf_topk": ORACLE_KMEANS_IVF,
     "lang_id_confusion": ORACLE_LANG_ID,
     "regex_token_counts": ORACLE_REGEX_TOKENS,
     "embedding_ivf_topk": ORACLE_IVF,

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""One scaling-ladder leg: run the full pipeline once in a FRESH JVM under
+the given master and print one JSON line with wall time + throughput.
+
+Run via scripts/scaling_ladder.py (which launches each leg as a separate
+subprocess so no JVM/page-cache state leaks between legs); usable alone:
+
+    python scripts/scaling_leg.py --master 'local-cluster[4,8,6144]' \
+        --input /tmp/fdf_scaling/corpus --ckpt /tmp/fdf_scaling/ckpt_x
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--shuffle-partitions", type=int, required=True)
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.plans.pipeline import run_pipeline
+    from fast_duplicate_finder_spark.session import get_spark
+
+    shutil.rmtree(args.ckpt, ignore_errors=True)
+    spark = get_spark(
+        "fdf-scaling-leg",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    transcripts = spark.read.parquet(args.input)
+    n_turns = transcripts.count()  # warms input listing + executor JVMs
+
+    # pandas-UDF warmup: first use pays ~1s/worker of numpy+pandas imports
+    # across every Python worker — a fixed cost that would otherwise bias
+    # the small-N leg (memory: spark-bench-pitfalls)
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    warm = F.pandas_udf(lambda s: s, LongType())
+    spark.range(0, 100_000, 1, args.shuffle_partitions).select(
+        warm("id")
+    ).count()
+
+    t0 = time.perf_counter()
+    report = run_pipeline(
+        spark, transcripts, PipelineConfig(), args.ckpt, resume=False
+    )
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "master": args.master,
+                "turns": n_turns,
+                "wall_sec": round(wall, 2),
+                "turns_per_sec": round(n_turns / wall, 1),
+                "file_sets": report.summary["file_sets"],
+                "near_dup_clusters": report.summary["near_dup_clusters"],
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

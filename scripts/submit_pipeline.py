@@ -77,6 +77,25 @@ def main() -> int:
         ap.error("one of --input / --generate is required")
         return 2
 
+    snapshot = None
+    if args.input and args.format == "parquet":
+        import os
+
+        from fast_duplicate_finder_spark.storage import parquet_snapshot_id
+
+        if os.path.exists(args.input):
+            snapshot = parquet_snapshot_id(args.input)
+
+    from fast_duplicate_finder_spark.plans.progress import ProgressReporter
+
+    progress = ProgressReporter()
+    progress.subscribe(
+        lambda ev: print(
+            f"[{ev['percent']:5.1f}%] {ev['phase']}: {ev['status']}"
+            + (f" ({ev['rows']} rows)" if ev.get("rows") is not None else ""),
+            file=sys.stderr,
+        )
+    )
     report = run_pipeline(
         spark,
         transcripts,
@@ -85,6 +104,8 @@ def main() -> int:
         resume=not args.no_resume,
         with_near_dup=not args.no_near_dup,
         with_groups=not args.no_groups,
+        input_snapshot=snapshot,
+        progress=progress,
     )
     print(json.dumps({"summary": report.summary, "metrics": report.metrics}))
     spark.stop()
