@@ -55,12 +55,19 @@ def shingle_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     k = cfg.shingle_k
     w = words(F.col("doc"))
+    # ONE doc-granularity exchange up front: hash-partitioning the doc rows
+    # by conv_id makes the exploded token rows inherit that partitioning
+    # (Generate preserves child partitioning), so the lead-window, the
+    # collect_list aggregation AND the final rejoin are all exchange-free —
+    # round 1 instead shuffled TOKEN rows (~3-5x corpus bytes of row
+    # overhead) for the window and again for the agg, the plan's dominant
+    # exchange at 10^12 turns.
     base = docs.select(
         "conv_id",
         F.size(w).alias("n_words"),
         F.xxhash64(F.array_join(w, " ")).alias("whole_hash"),
         F.col("doc"),
-    )
+    ).repartition("conv_id")
     toks = base.select(
         "conv_id", "n_words", F.posexplode(words(F.col("doc"))).alias("pos", "tok")
     )
@@ -146,8 +153,12 @@ def winnow_fingerprint_rows(features: DataFrame, window: int) -> DataFrame:
     readable HOF spec, kept as the differential-parity oracle in
     tests/test_shingle_parity.py) but codegen'd O(n) instead of an
     interpreted O(n*window) HOF — sliding-window min over posexploded gram
-    hashes. Eager-checkpointed by the caller when it feeds a self-join."""
-    g = features.select(
+    hashes. Eager-checkpointed by the caller when it feeds a self-join.
+
+    The gram-array rows are repartitioned by conv_id BEFORE posexplode so
+    the per-doc windows and the distinct run without a gram-granularity
+    exchange (same one-exchange-up-front shape as shingle_features)."""
+    g = features.select("conv_id", "grams").repartition("conv_id").select(
         "conv_id", F.posexplode("grams").alias("pos", "gh")
     )
     w_frame = (

@@ -91,6 +91,9 @@ class ProgressReporter:
 
     def phase_done(self, phase: str, index: int, total: int, metric: dict
                    ) -> None:
+        from fast_duplicate_finder_spark.functions.format import format_elapsed
+
+        secs = metric.get("seconds")
         self._emit(
             {
                 "phase": phase,
@@ -99,6 +102,7 @@ class ProgressReporter:
                 "total": total,
                 "percent": round(100.0 * index / total, 1),
                 "rows": metric.get("rows"),
-                "seconds": metric.get("seconds"),
+                "seconds": secs,
+                "elapsed": format_elapsed(secs) if secs is not None else None,
             }
         )

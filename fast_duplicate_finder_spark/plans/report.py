@@ -107,8 +107,18 @@ def folder_sets_report(
     return out.orderBy("sig12").limit(max_sets)
 
 
-def stringify_report(file_sets: list, folder_sets: list, summary: dict) -> str:
-    """Text sink (stringify.go:13-57 analogue)."""
+def stringify_report(
+    file_sets: list, folder_sets: list, summary: dict,
+    elapsed_seconds: float | None = None,
+) -> str:
+    """Text sink (stringify.go:13-57 analogue). Wasted space is shown both
+    exact and humanized (F7); elapsed time is appended Go-Duration-style
+    when provided (F6, status.go:72)."""
+    from fast_duplicate_finder_spark.functions.format import (
+        format_elapsed,
+        humanize_bytes,
+    )
+
     lines = []
     for i, s in enumerate(file_sets, 1):
         lines.append(
@@ -116,15 +126,24 @@ def stringify_report(file_sets: list, folder_sets: list, summary: dict) -> str:
             f"wasted={s['wasted_chars']}, members={', '.join(s['members'])}"
         )
     for i, s in enumerate(folder_sets, 1):
-        lines.append(
-            f"GroupSet {i} ({s['sig12']}): members={', '.join(s['members'])}"
+        size = (
+            f" size={s['size_chars']} chars,"
+            if "size_chars" in s
+            else ""
         )
+        lines.append(
+            f"GroupSet {i} ({s['sig12']}):{size} "
+            f"members={', '.join(s['members'])}"
+        )
+    wasted = summary["wasted_space_chars"]
     lines.append(
         f"Summary: {summary['file_sets']} duplicate sets, "
         f"{summary['folder_sets']} group sets, "
         f"{summary['near_dup_clusters']} near-dup clusters, "
-        f"{summary['wasted_space_chars']} wasted chars"
+        f"{wasted} wasted chars ({humanize_bytes(wasted)})"
     )
+    if elapsed_seconds is not None:
+        lines.append(f"Elapsed: {format_elapsed(elapsed_seconds)}")
     return "\n".join(lines)
 
 

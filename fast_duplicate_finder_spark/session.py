@@ -86,6 +86,9 @@ def get_spark(
         local_dir = "/dev/shm/spark-local"
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
+        # standalone-launched executors (local-cluster) ignore
+        # spark.local.dir and read SPARK_LOCAL_DIRS from their environment
+        os.environ["SPARK_LOCAL_DIRS"] = local_dir
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

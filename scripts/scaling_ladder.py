@@ -69,7 +69,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-convs", type=int, default=120_000)
     ap.add_argument("--cores-per-executor", type=int, default=8)
-    ap.add_argument("--mem-mb", type=int, default=6144)
+    ap.add_argument("--mem-mb", type=int, default=10240)
     ap.add_argument("--small-n", type=int, default=1)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--work-dir", default="/tmp/fdf_scaling")

@@ -225,3 +225,21 @@ def test_kmeans_fit_empty_input_raises(spark):
         kmeans_fit(empty)
     with pytest.raises(ValueError):
         kmeans_fit_exact(empty)
+
+
+def test_format_helpers():
+    from fast_duplicate_finder_spark.functions.format import (
+        format_elapsed,
+        humanize_bytes,
+    )
+
+    assert humanize_bytes(0) == "0 B"
+    assert humanize_bytes(512) == "512 B"
+    assert humanize_bytes(1536) == "1.5 KiB"
+    assert humanize_bytes(3 * 1024**2) == "3.0 MiB"
+    assert humanize_bytes(5 * 1024**4) == "5.0 TiB"
+    assert humanize_bytes(-1536) == "-1.5 KiB"
+    assert format_elapsed(0.35) == "350ms"
+    assert format_elapsed(4.25) == "4.2s"
+    assert format_elapsed(63.5) == "1m3.5s"
+    assert format_elapsed(3723.0) == "1h2m3.0s"
