@@ -28,11 +28,7 @@ from fast_duplicate_finder_spark.operators.lsh import (
     fingerprint_candidate_pairs,
     lsh_band_rows,
 )
-from fast_duplicate_finder_spark.operators.verify import (
-    attach_pair_payload,
-    verify_jaccard,
-    verify_shared_span,
-)
+from fast_duplicate_finder_spark.operators.verify import verify_jaccard
 
 
 def shingle_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -184,21 +180,91 @@ def winnow_fingerprint_rows(features: DataFrame, window: int) -> DataFrame:
     )
 
 
+def supershingle_rows(features: DataFrame, window: int) -> DataFrame:
+    """(conv_id, sg) distinct anchored supershingles: xxhash64 over every
+    consecutive run of ``window`` k-gram hashes (== a span of
+    window + k - 1 tokens).
+
+    Two documents share a token span of >= window + k - 1 tokens IFF they
+    share at least one supershingle (modulo 64-bit hash collision) — the
+    span membership test becomes an exact equi-join, no per-pair
+    verification at all. Same one-exchange explode shape as
+    shingle_features; the frame collect_list is JVM-side.
+    """
+    g = features.select("conv_id", "grams").repartition("conv_id").select(
+        "conv_id", F.posexplode("grams").alias("pos", "gh")
+    )
+    w_frame = (
+        Window.partitionBy("conv_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        g.withColumn("arr", F.collect_list("gh").over(w_frame))
+        .filter(F.size("arr") == window)  # full windows only: shorter docs
+                                          # cannot contain the span
+        .select("conv_id", F.xxhash64("arr").alias("sg"))
+        .distinct()
+    )
+
+
 def span_pairs(
     features: DataFrame, cfg: PipelineConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared-span pass: winnowing fingerprints -> candidates -> exact
-    longest-common-run verification. Deterministic recall for spans >=
-    winnow window + k - 1 == span_min_tokens."""
+    """Shared-span pass: anchored supershingle equi-join — EXACT span
+    membership (pair qualifies iff a >= span_min_tokens contiguous token
+    span is shared), entirely JVM-side.
+
+    Round 1 generated candidates from winnowing fingerprints and verified
+    each with a difflib Arrow kernel; at 5M turns the 200-word synthetic
+    vocabulary made fingerprints collide so heavily that 30M candidate
+    pairs reached Python (~12,000 core-seconds — 70% of pipeline wall,
+    zero scaling). The supershingle join needs no verify step: candidates
+    ARE verified pairs. ``span_tokens`` = shared_supershingles + window +
+    k - 2 — exactly difflib's longest-common-run length for a single
+    shared span, an upper bound (total shared content) when a pair shares
+    several disjoint spans. The winnowing operators remain as the
+    candidate-generation path for sub-span similarity (and the
+    winnow_span_candidates oracle query); the difflib kernel remains as
+    the differential-parity oracle (tests/test_span_exact.py).
+
+    Returns (pairs, overflow): hot supershingle buckets (corpus
+    boilerplate >= cfg.max_band_bucket docs) are capped and counted like
+    every other candidate join.
+    """
     window = max(cfg.span_min_tokens - cfg.shingle_k + 1, 1)
-    fps = winnow_fingerprint_rows(features, window).localCheckpoint(
+    sgs = supershingle_rows(features, window).localCheckpoint(
         eager=True
     )  # feeds the bucket-size window plus both sides of the self-join
-    cands, overflow = fingerprint_candidate_pairs(fps, cfg)
-    with_grams = attach_pair_payload(
-        cands, features.select("conv_id", "grams"), "grams"
+    w = Window.partitionBy("sg")
+    sized = sgs.withColumn("bucket_n", F.count("*").over(w)).filter(
+        F.col("bucket_n") >= 2
     )
-    verified = verify_shared_span(with_grams, cfg)
+    overflow = (
+        sized.filter(F.col("bucket_n") > cfg.max_band_bucket)
+        .groupBy("sg")
+        .agg(F.first("bucket_n").alias("bucket_n"))
+    )
+    ok = sized.filter(F.col("bucket_n") <= cfg.max_band_bucket).select(
+        "conv_id", "sg"
+    )
+    a = ok.alias("a")
+    b = ok.alias("b")
+    verified = (
+        a.join(
+            b,
+            (F.col("a.sg") == F.col("b.sg"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .groupBy(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+        .agg(
+            (F.count("*") + window + cfg.shingle_k - 2)
+            .cast("int")
+            .alias("span_tokens")
+        )
+    )
     return verified, overflow
 
 

@@ -202,17 +202,22 @@ def run_pipeline(
                 and store.exists(pairs_phase)
                 and store.exists(ovf_phase)
             ):
-                store.metrics.append({"phase": pairs_phase, "resumed": True})
+                leg_metric = {"phase": pairs_phase, "resumed": True}
+                store.metrics.append(leg_metric)
                 out = store.read(pairs_phase)
             else:
+                import time as _time
+
+                t0 = _time.perf_counter()
                 leg_pairs, leg_ovf = fn()
                 out = store.write(
                     leg_pairs, pairs_phase, lineage=["p6_features"]
                 )
+                leg_metric = store.metrics[-1]  # the pairs-table metric
                 store.write(leg_ovf, ovf_phase, lineage=["p6_features"])
+                leg_metric["seconds"] = round(_time.perf_counter() - t0, 2)
             progress.phase_done(
-                pairs_phase, counter["i"], n_phases,
-                store.metrics[-1] if store.metrics else {},
+                pairs_phase, counter["i"], n_phases, leg_metric
             )
             return out
 

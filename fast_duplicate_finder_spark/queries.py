@@ -584,6 +584,68 @@ SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
 FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id"""
 
 
+_SPAN_TOKENS = 40  # supershingle width (tokens); cap mirrors the operator
+
+
+def q_span_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shared-span pairs via anchored supershingles (the pipeline's
+    p7c operator re-expressed portably): two docs share a contiguous span
+    of >= 40 tokens iff they share a 40-token window; span_tokens = shared
+    windows + 39 (== the longest-common-run length for a single shared
+    span). Pure equi-join — the verification step IS the join. Spark joins
+    on xxhash64 of the window string (narrow shuffle), the oracle on the
+    string itself: identical equivalence classes modulo 64-bit collisions."""
+    c = dup_corpus(spark, sf_dir)
+    W = _SPAN_TOKENS
+    toks = c.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w_frame = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, W - 1)
+    )
+    ss = (
+        toks.withColumn("arr", F.collect_list("w").over(w_frame))
+        .filter(F.size("arr") == W)
+        .select("doc_id", F.xxhash64(F.array_join("arr", " ")).alias("ss"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w_bucket = Window.partitionBy("ss")
+    capped = ss.withColumn("n", F.count("*").over(w_bucket)).filter(
+        (F.col("n") >= 2) & (F.col("n") <= CFG.max_band_bucket)
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ss") == F.col("b.ss"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg((F.count("*") + W - 1).cast("long").alias("span_tokens"))
+    )
+
+
+ORACLE_SPAN_EXACT = f"""WITH {CORPUS_CTE},
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+ss AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_SPAN_TOKENS - 1}], ' ') AS ss
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_SPAN_TOKENS - 2})) AS i
+        FROM t WHERE len(ws) >= {_SPAN_TOKENS})),
+capped AS (
+  SELECT * FROM ss
+  QUALIFY count(*) OVER (PARTITION BY ss) BETWEEN 2 AND {CFG.max_band_bucket})
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       (count(*) + {_SPAN_TOKENS - 1})::BIGINT AS span_tokens
+FROM capped a JOIN capped b ON a.ss = b.ss AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+
+
 def q_connected_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact-dup star edges — the clustering
     operator with a transitive-closure-free oracle (exact groups ARE the
@@ -893,6 +955,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "winnow_span_candidates": q_winnow_span_candidates,
+    "span_exact_pairs": q_span_exact_pairs,
     "connected_components_exact": q_connected_components_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -915,6 +978,7 @@ ORACLES = {
     "minhash_lsh_pairs": ORACLE_MINHASH,
     "simhash_pairs": ORACLE_SIMHASH,
     "winnow_span_candidates": ORACLE_WINNOW,
+    "span_exact_pairs": ORACLE_SPAN_EXACT,
     "connected_components_exact": ORACLE_CC,
     "token_stats": ORACLE_TOKEN_STATS,
     "quality_scores": ORACLE_QUALITY,

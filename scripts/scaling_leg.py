@@ -24,6 +24,11 @@ def main() -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--shuffle-partitions", type=int, required=True)
+    ap.add_argument("--warmup-runs", type=int, default=1,
+                    help="untimed full-pipeline runs before the timed one "
+                         "(steady-state measurement: JIT tier-up is a "
+                         "small-corpus artifact that a 100 TB run "
+                         "amortizes to nothing)")
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -33,11 +38,13 @@ def main() -> int:
     from fast_duplicate_finder_spark.plans.pipeline import run_pipeline
     from fast_duplicate_finder_spark.session import get_spark
 
-    shutil.rmtree(args.ckpt, ignore_errors=True)
     spark = get_spark(
         "fdf-scaling-leg",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
+        # many small stages + cached/checkpointed blocks: 3s default
+        # locality waits serialize multi-executor runs on a single host
+        extra_conf={"spark.locality.wait": "0s"},
     )
     transcripts = spark.read.parquet(args.input)
     n_turns = transcripts.count()  # warms input listing + executor JVMs
@@ -53,17 +60,24 @@ def main() -> int:
         warm("id")
     ).count()
 
-    t0 = time.perf_counter()
-    report = run_pipeline(
-        spark, transcripts, PipelineConfig(), args.ckpt, resume=False
-    )
-    wall = time.perf_counter() - t0
+    walls = []
+    report = None
+    for i in range(args.warmup_runs + 1):
+        ck = f"{args.ckpt}_{i}"
+        shutil.rmtree(ck, ignore_errors=True)
+        t0 = time.perf_counter()
+        report = run_pipeline(
+            spark, transcripts, PipelineConfig(), ck, resume=False
+        )
+        walls.append(round(time.perf_counter() - t0, 2))
+    wall = walls[-1]
     print(
         json.dumps(
             {
                 "master": args.master,
                 "turns": n_turns,
-                "wall_sec": round(wall, 2),
+                "wall_sec": wall,
+                "all_walls": walls,
                 "turns_per_sec": round(n_turns / wall, 1),
                 "file_sets": report.summary["file_sets"],
                 "near_dup_clusters": report.summary["near_dup_clusters"],
