@@ -233,12 +233,12 @@ FROM g JOIN (
 # MinHash/LSH (probabilistic path, verified), SimHash, winnowing spans
 # ---------------------------------------------------------------------------
 
-def _shingle_rows(c: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, s) distinct shingle rows, s hashed to int64 (narrow shuffle
-    payload; the oracle counts shingle strings — identical equivalence
-    classes modulo 64-bit collisions). Eagerly materialized: the self-join
-    below would otherwise recompute the explode on both probe sides (at
-    scale this is the p6_features checkpoint table)."""
+def _shingle_sets(c: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shset) distinct shingle-hash arrays, int64 elements (narrow
+    shuffle payload; the oracle counts shingle strings — identical
+    equivalence classes modulo 64-bit collisions). Eagerly materialized
+    ONCE: both the blocking self-join and the exact verify derive from this
+    checkpoint (at scale this is the p6_features checkpoint table)."""
     ws = F.split(F.col("text"), " ")
     sh = F.array_distinct(
         F.transform(
@@ -248,7 +248,7 @@ def _shingle_rows(c: DataFrame, k: int = 3) -> DataFrame:
     )
     return (
         c.filter(F.size(ws) >= k)
-        .select("doc_id", F.explode(sh).alias("s"))
+        .select("doc_id", sh.alias("shset"))
         .localCheckpoint(eager=True)
     )
 
@@ -260,56 +260,65 @@ _JACCARD_DF_CAP = 64  # blocking df-cap: a shingle shared by more docs is
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT word-3-gram Jaccard >= 0.5 via document-frequency-capped
-    shared-shingle blocking + exact per-candidate verification.
+    """EXACT word-3-gram Jaccard >= 0.5 via document-frequency-capped,
+    prefix-filtered shared-shingle blocking + exact per-candidate
+    verification.
 
-    Blocking: only shingles present in <= _JACCARD_DF_CAP docs generate
-    candidates (hot boilerplate shingles would make the self-join quadratic
-    at corpus scale). Verification: the intersection count for surviving
-    candidates uses ALL shingles, so reported jaccard values are exact; a
-    tau-pair is missed only if EVERY shared shingle is boilerplate — the
-    identical rule is applied in the oracle."""
+    Blocking, two rules composed (both mirrored verbatim in the oracle):
+
+    * df-cap: only shingles present in <= _JACCARD_DF_CAP docs generate
+      candidates (hot boilerplate shingles would make the self-join
+      quadratic at corpus scale);
+    * prefix filter (AllPairs/PPJoin principle, Bayardo et al. WWW'07):
+      only each doc's globally-rarest ``n - ceil(tau*n) + 1`` shingles
+      generate candidates. For J(A,B) >= tau the canonical prefixes of A
+      and B must share an element, so this rule alone is LOSSLESS; we rank
+      by df with ties kept (``rank()``, not ``row_number()``) so the rule
+      is hash-representation-independent and DuckDB replays it exactly.
+
+    Verification: the intersection for surviving candidates uses ALL
+    shingles (array_intersect over per-doc shset arrays — joins
+    proportional to |candidates|), so reported jaccard values are exact; a
+    tau-pair is missed only if EVERY shared prefix shingle is boilerplate
+    — the identical rule is applied in the oracle."""
+    from fast_duplicate_finder_spark.operators.verify import verify_jaccard
+
     c = dup_corpus(spark, sf_dir)
-    sh = _shingle_rows(c)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    w_df = Window.partitionBy("s")
-    rare = (
-        sh.withColumn("df", F.count("*").over(w_df))
+    shsets = _shingle_sets(c)
+    sh = shsets.select("doc_id", F.explode("shset").alias("s"))
+    dfs = sh.groupBy("s").agg(F.count("*").alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df")
+    w_n = Window.partitionBy("doc_id")
+    pref = (
+        sh.join(dfs, "s")
+        .withColumn("rk", F.rank().over(w_doc))
+        .withColumn("n", F.count("*").over(w_n))
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") * 0.5) + 1)
         .filter((F.col("df") >= 2) & (F.col("df") <= _JACCARD_DF_CAP))
         .select("doc_id", "s")
     )
     cand = (
-        rare.alias("a")
+        pref.alias("a")
         .join(
-            rare.alias("b"),
+            pref.alias("b"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.doc_id").alias("conv_id_a"),
+            F.col("b.doc_id").alias("conv_id_b"),
         )
         .distinct()
     )
-    # exact verify: intersection over ALL shingles, restricted to candidates
-    inter = (
-        cand.join(sh.alias("sa"), cand.doc_id_a == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (cand.doc_id_b == F.col("sb.doc_id"))
-            & (F.col("sa.s") == F.col("sb.s")),
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+    # exact verify: array_intersect over per-doc shset arrays — two narrow
+    # joins proportional to |candidates|, not |shingle rows| (the round-2
+    # double exploded-row join shuffled every shingle of the corpus twice)
+    return verify_jaccard(
+        cand, shsets.withColumnRenamed("doc_id", "conv_id"), tau=0.5
+    ).select(
+        F.col("conv_id_a").alias("doc_id_a"),
+        F.col("conv_id_b").alias("doc_id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 
@@ -341,12 +350,18 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= {tau}"""
 ORACLE_JACCARD = f"""WITH {CORPUS_CTE},
 {_ORACLE_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-rare AS (
-  SELECT doc_id, s FROM sh
-  QUALIFY count(*) OVER (PARTITION BY s) BETWEEN 2 AND {_JACCARD_DF_CAP}),
+dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+pref AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, df,
+           rank() OVER (PARTITION BY doc_id ORDER BY df) AS rk,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM sh JOIN dfs USING (s))
+  WHERE rk <= n - ceil(n * 0.5) + 1
+    AND df BETWEEN 2 AND {_JACCARD_DF_CAP}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
 inter AS (
   SELECT doc_id_a, doc_id_b, count(*) AS i
   FROM cand
