@@ -11,32 +11,37 @@ _UNITS = ["B", "KiB", "MiB", "GiB", "TiB", "PiB"]
 
 
 def humanize_bytes(n: int | float) -> str:
-    """1536 -> '1.5 KiB' (base 1024, one decimal, exact bytes below 1 KiB)."""
+    """1536 -> '1.5 KiB' (base 1024, one decimal, exact bytes below 1 KiB).
+    Rounds BEFORE unit selection so 1048575 is '1.0 MiB', never
+    '1024.0 KiB' (the displayed value always stays < 1024)."""
     n = float(n)
     sign = "-" if n < 0 else ""
     n = abs(n)
     for unit in _UNITS[:-1]:
-        if n < 1024:
-            return (
-                f"{sign}{int(n)} {unit}"
-                if unit == "B"
-                else f"{sign}{n:.1f} {unit}"
-            )
+        if unit == "B":
+            if n < 1024:
+                return f"{sign}{int(n)} B"
+        elif round(n, 1) < 1024:
+            return f"{sign}{n:.1f} {unit}"
         n /= 1024
     return f"{sign}{n:.1f} {_UNITS[-1]}"
 
 
 def format_elapsed(seconds: float) -> str:
-    """Go time.Duration.String() style: '1h2m3.5s', '4.2s', '350ms'."""
+    """Go time.Duration.String() style: '1h2m3.5s', '4.2s', '350ms'.
+    Rounds once (ms below 1s, else deciseconds) BEFORE unit split so
+    boundaries carry: 0.9996 -> '1.0s', 59.96 -> '1m0.0s'."""
     if seconds < 0:
         return "-" + format_elapsed(-seconds)
-    if seconds < 1:
-        return f"{seconds * 1000:.0f}ms"
-    h, rem = divmod(seconds, 3600)
-    m, s = divmod(rem, 60)
+    ms = round(seconds * 1000)
+    if ms < 1000:
+        return f"{ms}ms"
+    total_ds = round(seconds * 10)  # deciseconds, the displayed resolution
+    mins, s_ds = divmod(total_ds, 600)
+    h, m = divmod(mins, 60)
     out = ""
     if h:
-        out += f"{int(h)}h"
+        out += f"{h}h"
     if m or h:
-        out += f"{int(m)}m"
-    return out + f"{s:.1f}s"
+        out += f"{m}m"
+    return out + f"{s_ds / 10:.1f}s"

@@ -88,12 +88,13 @@ def run_pipeline(
     ``cancel``: plans.progress.CancelToken (or None) — checked at every
     phase boundary, like the reference's ctx checks between phases
     (run_finder.go:45-79)."""
+    from fast_duplicate_finder_spark.plans.logging import get_logger
     from fast_duplicate_finder_spark.plans.progress import (
         CancelToken,
         ProgressReporter,
     )
 
-    progress = progress or ProgressReporter()
+    progress = progress or ProgressReporter(logger=get_logger())
     cancel = cancel or CancelToken(spark)
     store = CheckpointStore(
         spark, checkpoint_dir, cfg.fingerprint(), snapshot_id=input_snapshot
@@ -281,7 +282,7 @@ def run_pipeline(
         ["p3_exact", "p5_groups", "p8_clusters"],
     )
     summary = {k: v for k, v in summary_df.collect()[0].asDict().items()}
-    return Report(
+    report = Report(
         summary=summary,
         exact_clusters=p3,
         top_folders=top,
@@ -290,3 +291,16 @@ def run_pipeline(
         near_clusters=clusters,
         metrics=store.metrics,
     )
+    global _LAST_REPORT
+    _LAST_REPORT = report
+    return report
+
+
+_LAST_REPORT: Report | None = None
+
+
+def get_last_report() -> Report | None:
+    """Most recent completed Report in this process — the polling-client
+    cache (reference library/library.go:68,89 ``lastReport`` /
+    ``GetLastReportC``)."""
+    return _LAST_REPORT

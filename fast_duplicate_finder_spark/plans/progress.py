@@ -20,7 +20,6 @@ The reference threads a cancellable context through every phase
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
 
 
 class PipelineCancelled(RuntimeError):
@@ -64,17 +63,38 @@ class CancelToken:
             raise PipelineCancelled("pipeline cancelled")
 
 
-@dataclass
 class ProgressReporter:
-    callbacks: list = field(default_factory=list)
-    events: list[dict] = field(default_factory=list)
+    """Callback fanout + bounded event history. ``max_events`` bounds the
+    retained history the same way the reference's ring logger bounds its
+    entries (logger/logger.go:102-104) — a week-long streaming run must
+    not grow driver memory per phase. ``logger``: an optional
+    plans.logging.RingLogger that phase lifecycle lines are mirrored into
+    (the C7 log surface)."""
+
+    def __init__(self, max_events: int = 1000, logger=None):
+        from collections import deque
+
+        self.callbacks: list = []
+        self._events: deque[dict] = deque(maxlen=max_events)
+        self.logger = logger
+
+    @property
+    def events(self) -> list[dict]:
+        return list(self._events)
 
     def subscribe(self, cb) -> None:
         """cb(event: dict) — called on the driver at phase start/done."""
         self.callbacks.append(cb)
 
     def _emit(self, event: dict) -> None:
-        self.events.append(event)
+        self._events.append(event)  # deque(maxlen) evicts the oldest
+        if self.logger is not None:
+            self.logger.info(
+                f"phase {event['phase']} {event['status']} "
+                f"({event['percent']}%)",
+                context="pipeline",
+                data={k: v for k, v in event.items() if k != "phase"},
+            )
         for cb in self.callbacks:
             cb(event)
 

@@ -40,21 +40,35 @@ def summarize(
             ).alias("wasted_space_chars"),
         )
     )
-    folder_sets = (
-        top_folders.select("cluster_id").distinct().count()
+    # single job: the side counts are 1-row lazy aggregates cross-joined in
+    # (agg-without-groupBy always yields exactly one row, even on empty
+    # input), so the caller's one collect runs everything as one plan — the
+    # old form ran two extra driver-side count() actions per report
+    folders_1row = (
+        top_folders.agg(
+            F.count_distinct("cluster_id").alias("folder_sets")
+        )
         if top_folders is not None
-        else 0
+        else None
     )
-    near_sets = (
-        near_clusters.select("component").distinct().count()
+    near_1row = (
+        near_clusters.agg(
+            F.count_distinct("component").alias("near_dup_clusters")
+        )
         if near_clusters is not None
-        else 0
+        else None
     )
-    return per_set.select(
-        "file_sets",
-        F.lit(folder_sets).cast("long").alias("folder_sets"),
-        F.lit(near_sets).cast("long").alias("near_dup_clusters"),
-        "wasted_space_chars",
+    out = per_set
+    if folders_1row is not None:
+        out = out.crossJoin(folders_1row)
+    else:
+        out = out.withColumn("folder_sets", F.lit(0).cast("long"))
+    if near_1row is not None:
+        out = out.crossJoin(near_1row)
+    else:
+        out = out.withColumn("near_dup_clusters", F.lit(0).cast("long"))
+    return out.select(
+        "file_sets", "folder_sets", "near_dup_clusters", "wasted_space_chars"
     )
 
 

@@ -457,10 +457,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle() -> str:
     """DuckDB replica of the simhash kernel + pigeonhole join: md5-derived
-    64-bit shingle hashes (hi/lo 32-bit halves), per-bit +-1 votes, 4x16-bit
-    chunk keys, bucket cap, popcount(XOR) Hamming <= h."""
+    64-bit shingle hashes (hi/lo 32-bit halves), per-bit +-1 votes,
+    ``simhash_hamming + 1`` pigeonhole chunk keys of ``64 // (h+1)`` bits
+    (derived from CFG exactly as functions/simhash.simhash_chunks does, so
+    a config change cannot desynchronize query and oracle), bucket cap,
+    popcount(XOR) Hamming <= h. When 64 is not divisible by h+1 the
+    uncovered top bits form a non-key ``rest`` column that still
+    participates in the exact Hamming check (the Spark side verifies on
+    the full 64-bit signature)."""
     h = CFG.simhash_hamming
     cap = CFG.max_band_bucket
+    n_chunks = h + 1
+    width = 64 // n_chunks
     votes = ",\n    ".join(
         [
             f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -471,16 +479,36 @@ def _simhash_oracle() -> str:
             for b in range(32)
         ]
     )
-    chunks = ",\n    ".join(
-        "("
-        + " | ".join(
-            f"(CASE WHEN v{c * 16 + j} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {j})"
-            for j in range(16)
+
+    def pack(bits: list[int], name: str) -> str:
+        return (
+            "("
+            + " | ".join(
+                f"(CASE WHEN v{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END"
+                f" << {j})"
+                for j, b in enumerate(bits)
+            )
+            + f") AS {name}"
         )
-        + f") AS c{c}"
-        for c in range(4)
+
+    chunk_names = [f"c{c}" for c in range(n_chunks)]
+    chunk_defs = [
+        pack(list(range(c * width, (c + 1) * width)), f"c{c}")
+        for c in range(n_chunks)
+    ]
+    rest_bits = list(range(n_chunks * width, 64))
+    if rest_bits:
+        chunk_defs.append(pack(rest_bits, "rest"))
+    chunks = ",\n    ".join(chunk_defs)
+    sig_cols = ", ".join(chunk_names + (["rest"] if rest_bits else []))
+    case_val = (
+        "CASE ch.chunk_id "
+        + " ".join(f"WHEN {c} THEN c{c}" for c in range(n_chunks - 1))
+        + f" ELSE c{n_chunks - 1} END"
     )
-    hamming = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    hamming = " + ".join(
+        f"bit_count(xor(a.{c}, b.{c}))" for c in chunk_names
+    ) + (" + bit_count(xor(a.rest, b.rest))" if rest_bits else "")
     return f"""WITH {CORPUS_CTE},
 {_ORACLE_SHINGLES},
 hl AS (
@@ -496,10 +524,9 @@ sig AS (
     {chunks}
   FROM votes),
 keyed AS (
-  SELECT doc_id, c0, c1, c2, c3, ch.chunk_id,
-         CASE ch.chunk_id WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
-              ELSE c3 END AS chunk_val
-  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS chunk_id) ch),
+  SELECT doc_id, {sig_cols}, ch.chunk_id,
+         {case_val} AS chunk_val
+  FROM sig CROSS JOIN (SELECT unnest(range({n_chunks})) AS chunk_id) ch),
 capped AS (
   SELECT * FROM keyed
   QUALIFY count(*) OVER (PARTITION BY chunk_id, chunk_val) <= {cap})

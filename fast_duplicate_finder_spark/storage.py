@@ -84,8 +84,12 @@ class CheckpointStore:
             return False
         if m.get("fingerprint") != self.fingerprint or not m.get("complete"):
             return False
-        if self.snapshot_id is not None and m.get("snapshot_id") is not None:
-            return m["snapshot_id"] == self.snapshot_id
+        if self.snapshot_id is not None:
+            # a manifest with NO snapshot is unknown provenance: when the
+            # caller pins an input snapshot, refuse to resume from it (the
+            # documented contract is "resume refuses checkpoints of a
+            # different input" — missing != same)
+            return m.get("snapshot_id") == self.snapshot_id
         return True
 
     def write(
@@ -131,18 +135,20 @@ class CheckpointStore:
             shutil.rmtree(data_path)
             os.replace(tmp_path, data_path)
         out = self.spark.read.parquet(data_path)
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .collect()
-        )
+        # Per-partition counters from the parquet FOOTERS (driver-side
+        # metadata reads), not a Spark job: the old groupBy(partition_id)
+        # re-scanned every checkpoint in full — one extra all-data pass per
+        # phase, pure fixed cost at any cluster size. A written file is a
+        # write-partition; footer num_rows is exact. (Iceberg swap point:
+        # the table's manifest files carry the same per-file counts.)
+        per_part = self._footer_counts(data_path)
         manifest = {
             "phase": phase,
             "fingerprint": self.fingerprint,
             "format": self.table_format,
             "snapshot_id": self.snapshot_id,
-            "rows": int(sum(r["count"] for r in per_part)),
-            "partitions": {str(r["pid"]): int(r["count"]) for r in per_part},
+            "rows": int(sum(per_part.values())),
+            "partitions": per_part,
             "lineage": lineage or [],
             "counters": counters or {},
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -158,6 +164,26 @@ class CheckpointStore:
              "n_partitions": len(per_part)}
         )
         return out
+
+    def _footer_counts(self, data_path: str) -> dict[str, int]:
+        """{file_name: num_rows} from parquet footer metadata; falls back
+        to one Spark count job if footers are unreadable (non-local FS)."""
+        try:
+            import pyarrow.parquet as pq
+
+            return {
+                e.name: pq.ParquetFile(e.path).metadata.num_rows
+                for e in os.scandir(data_path)
+                if e.name.endswith(".parquet") and e.is_file()
+            }
+        except Exception:
+            df = self.spark.read.parquet(data_path)
+            per = (
+                df.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .collect()
+            )
+            return {str(r["pid"]): int(r["count"]) for r in per}
 
     def read(self, phase: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(phase), "data"))

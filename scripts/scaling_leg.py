@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import time
@@ -60,16 +61,41 @@ def main() -> int:
         warm("id")
     ).count()
 
+    def cpu_sample() -> tuple[int, int]:
+        """(busy_jiffies, total_jiffies) across all host CPUs."""
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + vals[4]  # idle + iowait
+        return sum(vals) - idle, sum(vals)
+
     walls = []
+    phase_runs = []
     report = None
     for i in range(args.warmup_runs + 1):
         ck = f"{args.ckpt}_{i}"
         shutil.rmtree(ck, ignore_errors=True)
+        c0 = cpu_sample()
         t0 = time.perf_counter()
         report = run_pipeline(
             spark, transcripts, PipelineConfig(), ck, resume=False
         )
         walls.append(round(time.perf_counter() - t0, 2))
+        c1 = cpu_sample()
+        phase_runs.append(
+            {
+                "wall_sec": walls[-1],
+                "host_busy_cores": round(
+                    (c1[0] - c0[0]) / max(c1[1] - c0[1], 1)
+                    * os.cpu_count(), 1,
+                ),
+                "phase_seconds": {
+                    m["phase"]: m["seconds"]
+                    for m in report.metrics
+                    if "seconds" in m
+                },
+            }
+        )
     wall = walls[-1]
     print(
         json.dumps(
@@ -81,6 +107,7 @@ def main() -> int:
                 "turns_per_sec": round(n_turns / wall, 1),
                 "file_sets": report.summary["file_sets"],
                 "near_dup_clusters": report.summary["near_dup_clusters"],
+                "runs_detail": phase_runs,
             }
         )
     )

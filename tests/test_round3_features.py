@@ -1,0 +1,159 @@
+"""Round-3 additions: bounded ring-buffer logger (C7), bounded progress
+history, snapshot-strict resume, boundary-carrying format helpers,
+single-job summarize, last-report cache, footer-based manifest counters."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from fast_duplicate_finder_spark.config import PipelineConfig
+from fast_duplicate_finder_spark.corpus import generate_transcripts
+from fast_duplicate_finder_spark.functions.format import (
+    format_elapsed,
+    humanize_bytes,
+)
+from fast_duplicate_finder_spark.plans.logging import RingLogger, get_logger
+from fast_duplicate_finder_spark.plans.pipeline import (
+    get_last_report,
+    run_pipeline,
+)
+from fast_duplicate_finder_spark.plans.progress import ProgressReporter
+from fast_duplicate_finder_spark.storage import CheckpointStore
+
+CFG = PipelineConfig()
+
+
+# --- C7: ring-buffer logger ------------------------------------------------
+
+def test_ring_logger_capacity_eviction():
+    log = RingLogger(capacity=5)
+    for i in range(12):
+        log.info(f"m{i}")
+    entries = log.get_logs()
+    assert len(entries) == 5  # oldest evicted, never grows past capacity
+    assert [e["message"] for e in entries] == [f"m{i}" for i in range(7, 12)]
+    assert [e["message"] for e in log.get_logs(2)] == ["m10", "m11"]
+    assert json.loads(log.get_logs_json(1))[0]["message"] == "m11"
+
+
+def test_ring_logger_callback_delivery_and_levels():
+    log = RingLogger(capacity=10)
+    seen = []
+    log.subscribe(seen.append)
+    log.debug("d")
+    log.warn("w", context="ctx")
+    log.error("e", data={"k": 1})
+    log.log("BOGUS", "x")  # unknown level coerces to INFO
+    assert [e["level"] for e in seen] == ["DEBUG", "WARN", "ERROR", "INFO"]
+    assert seen[1]["context"] == "ctx"
+    assert seen[2]["data"] == {"k": 1}
+    assert seen == log.get_logs()
+
+
+def test_progress_events_bounded_and_mirrored_to_logger(spark, tmp_path):
+    log = RingLogger(capacity=100)
+    progress = ProgressReporter(max_events=4, logger=log)
+    df = generate_transcripts(spark, n_convs=40, seed=7)
+    run_pipeline(
+        spark, df, CFG, str(tmp_path / "c"), with_groups=False,
+        with_near_dup=False, progress=progress,
+    )
+    # 6 phases x (start+done) = 12 events emitted; history keeps last 4
+    assert len(progress.events) == 4
+    assert progress.events[-1]["percent"] == 100.0
+    phase_lines = [e for e in log.get_logs() if e.get("context") == "pipeline"]
+    assert len(phase_lines) == 12  # logger saw every event (its own bound)
+    assert get_logger() is get_logger()  # process singleton
+
+
+def test_last_report_cache(spark, tmp_path):
+    df = generate_transcripts(spark, n_convs=40, seed=7)
+    rep = run_pipeline(
+        spark, df, CFG, str(tmp_path / "c"), with_groups=False,
+        with_near_dup=False,
+    )
+    assert get_last_report() is rep  # library.go:68,89 lastReport analogue
+
+
+# --- snapshot-strict resume -------------------------------------------------
+
+def test_resume_refused_when_manifest_lacks_snapshot(spark, tmp_path):
+    base = str(tmp_path / "ck")
+    legacy = CheckpointStore(spark, base, "fp", snapshot_id=None)
+    legacy.write(spark.range(3).toDF("v"), "p0")
+    assert legacy.exists("p0")
+    # same fingerprint, but the caller now pins an input snapshot: a
+    # manifest with no snapshot is unknown provenance -> not resumable
+    pinned = CheckpointStore(spark, base, "fp", snapshot_id="abc123")
+    assert not pinned.exists("p0")
+    pinned.write(spark.range(3).toDF("v"), "p0")
+    assert pinned.exists("p0")
+    assert not CheckpointStore(
+        spark, base, "fp", snapshot_id="zzz"
+    ).exists("p0")
+
+
+def test_manifest_counters_from_footers(spark, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ck"), "fp")
+    store.write(spark.range(1000).toDF("v").repartition(4), "p0")
+    m = store.manifest("p0")
+    assert m["rows"] == 1000 == sum(m["partitions"].values())
+    assert len(m["partitions"]) >= 1
+
+
+# --- format boundary carrying ----------------------------------------------
+
+@pytest.mark.parametrize(
+    "seconds,expect",
+    [
+        (0.9996, "1.0s"),      # was "1000ms"
+        (59.96, "1m0.0s"),     # was "60.0s"
+        (59.94, "59.9s"),
+        (0.35, "350ms"),
+        (4.2, "4.2s"),
+        (3599.96, "1h0m0.0s"),
+        (62.5, "1m2.5s"),
+    ],
+)
+def test_format_elapsed_boundaries(seconds, expect):
+    assert format_elapsed(seconds) == expect
+
+
+def test_humanize_bytes_boundaries():
+    assert humanize_bytes(1048575) == "1.0 MiB"   # was "1024.0 KiB"
+    assert humanize_bytes(1536) == "1.5 KiB"
+    assert humanize_bytes(1023) == "1023 B"
+    assert humanize_bytes(1024**2 - 52429) == "972.8 KiB"
+    assert humanize_bytes(1024**3 - 1) == "1.0 GiB"  # carries past MiB too
+
+
+# --- summarize: one plan, no driver-side count() actions ----------------------
+
+def test_summarize_single_collect(spark):
+    from fast_duplicate_finder_spark.plans.report import summarize
+
+    exact = spark.createDataFrame(
+        [("a", "a", 10), ("b", "a", 10), ("c", "c", 4)],
+        "conv_id string, cluster_id string, size long",
+    )
+    folders = spark.createDataFrame(
+        [("f1", 1, "c1", 2), ("f2", 1, "c1", 2)],
+        "folder string, sig long, cluster_id string, cluster_size long",
+    )
+    near = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("x", "x")],
+        "conv_id string, component string",
+    )
+    row = summarize(exact, folders, near).collect()[0].asDict()
+    assert row == {
+        "file_sets": 2,
+        "folder_sets": 1,
+        "near_dup_clusters": 2,
+        "wasted_space_chars": 10,
+    }
+    empty = summarize(exact.limit(0), None, None).collect()[0].asDict()
+    assert empty["file_sets"] == 0
+    assert empty["wasted_space_chars"] == 0
+    assert empty["folder_sets"] == 0 and empty["near_dup_clusters"] == 0
