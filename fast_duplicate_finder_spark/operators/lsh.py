@@ -12,6 +12,12 @@ Scale design (north_rule: hot bands at 10^12 turns must not kill the job):
   AQE skew-join splits stragglers; the cap bounds the quadratic blowup
   (a bucket of 10^6 identical-boilerplate convs would otherwise emit
   10^12 pairs from one band);
+* hot-yet-under-cap buckets (above ``max_band_bucket //
+  band_salt_buckets`` members) use two-level salted pair generation:
+  the equi-join key gains a ``hash(conv_id) % band_salt_buckets`` salt
+  and the probe side is replicated per salt, splitting one bucket's pair
+  enumeration across that many reducers (the b-side replication cost is
+  paid ONLY for hot-bucket rows);
 * pairs are deduped across bands with ``distinct`` before expensive
   verification (the same true pair collides in many bands).
 
@@ -43,6 +49,103 @@ def lsh_band_rows(sigs: DataFrame, cfg: PipelineConfig,
     )
 
 
+def two_level_pairs(
+    rows: DataFrame, key_cols: list[str], n_salt: int,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """All unordered id pairs within each key group, generated across
+    ~``n_salt`` tasks per group instead of one (two-level salted pair
+    generation, SURVEY §4).
+
+    Level 1: each member gets a deterministic salt ``hash(id) % n_salt``.
+    Level 2: the b-side is replicated once per salt value, and the
+    equi-join key becomes (key..., salt) — so one hot group's pair
+    enumeration lands on up to ``n_salt`` reducers instead of one. A pair
+    with salts (u, v) is emitted exactly once: in cell u when u < v, or in
+    cell u ordered by id when u == v. Join work per group is unchanged
+    (every pair is still enumerated once); only its placement is split.
+    """
+    salt_of = lambda c: F.pmod(F.xxhash64(c), F.lit(n_salt)).cast("int")  # noqa: E731
+    a = rows.select(
+        *key_cols,
+        F.col(id_col).alias("ida"),
+        salt_of(F.col(id_col)).alias("cell"),
+    ).alias("a")
+    b = rows.select(
+        *key_cols,
+        F.col(id_col).alias("idb"),
+        salt_of(F.col(id_col)).alias("salt_b"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_salt)])
+        ).alias("cell"),
+    ).alias("b")
+    cond = (F.col("a.cell") == F.col("b.cell"))
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (
+        a.join(b, cond)
+        .filter(
+            (F.col("b.salt_b") > F.col("a.cell"))
+            | (
+                (F.col("b.salt_b") == F.col("a.cell"))
+                & (F.col("a.ida") < F.col("b.idb"))
+            )
+        )
+        .select(
+            F.least("a.ida", "b.idb").alias("conv_id_a"),
+            F.greatest("a.ida", "b.idb").alias("conv_id_b"),
+        )
+    )
+
+
+def _capped_pairs(
+    rows: DataFrame, key_cols: list[str], cfg: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Shared capped + salted self-join: (conv_id, key...) rows ->
+    ((conv_id_a, conv_id_b) distinct pairs, overflow metrics).
+
+    * buckets > ``cfg.max_band_bucket``: excluded + COUNTED (overflow);
+    * buckets above the hot threshold (``max_band_bucket //
+      band_salt_buckets``): two-level salted pair generation — a
+      hot-yet-under-cap bucket (1,999 members ~= 2M pairs) splits across
+      ``band_salt_buckets`` tasks instead of landing on one reducer;
+    * small buckets: plain self-join (no replication cost).
+    """
+    w = Window.partitionBy(*key_cols)
+    sized = rows.withColumn("bucket_n", F.count("*").over(w)).filter(
+        F.col("bucket_n") >= 2
+    )
+    overflow = (
+        sized.filter(F.col("bucket_n") > cfg.max_band_bucket)
+        .groupBy(*key_cols)
+        .agg(F.first("bucket_n").alias("bucket_n"))
+    )
+    ok = sized.filter(F.col("bucket_n") <= cfg.max_band_bucket).select(
+        "conv_id", *key_cols, "bucket_n"
+    )
+    n_salt = max(int(cfg.band_salt_buckets), 1)
+    hot_threshold = (
+        max(cfg.max_band_bucket // n_salt, 2)
+        if n_salt > 1
+        else cfg.max_band_bucket
+    )
+    cold = ok.filter(F.col("bucket_n") <= hot_threshold)
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cond = F.col("a.conv_id") < F.col("b.conv_id")
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    cold_pairs = a.join(b, cond).select(
+        F.col("a.conv_id").alias("conv_id_a"),
+        F.col("b.conv_id").alias("conv_id_b"),
+    )
+    pairs = cold_pairs
+    if n_salt > 1:
+        hot = ok.filter(F.col("bucket_n") > hot_threshold)
+        pairs = cold_pairs.union(two_level_pairs(hot, key_cols, n_salt))
+    return pairs.distinct(), overflow
+
+
 def candidate_pairs(
     band_rows: DataFrame, cfg: PipelineConfig
 ) -> tuple[DataFrame, DataFrame]:
@@ -51,63 +154,12 @@ def candidate_pairs(
     pairs: (conv_id_a, conv_id_b) distinct, a < b.
     overflow_metrics: (band_id, band_hash, bucket_n) for capped buckets.
     """
-    w = Window.partitionBy("band_id", "band_hash")
-    sized = band_rows.withColumn("bucket_n", F.count("*").over(w)).filter(
-        F.col("bucket_n") >= 2
-    )
-    overflow = (
-        sized.filter(F.col("bucket_n") > cfg.max_band_bucket)
-        .groupBy("band_id", "band_hash")
-        .agg(F.first("bucket_n").alias("bucket_n"))
-    )
-    ok = sized.filter(F.col("bucket_n") <= cfg.max_band_bucket).select(
-        "conv_id", "band_id", "band_hash"
-    )
-    a = ok.alias("a")
-    b = ok.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.conv_id") < F.col("b.conv_id")),
-        )
-        .select(
-            F.col("a.conv_id").alias("conv_id_a"),
-            F.col("b.conv_id").alias("conv_id_b"),
-        )
-        .distinct()
-    )
-    return pairs, overflow
+    return _capped_pairs(band_rows, ["band_id", "band_hash"], cfg)
 
 
 def fingerprint_candidate_pairs(
     fp_rows: DataFrame, cfg: PipelineConfig, key: str = "fp"
 ) -> tuple[DataFrame, DataFrame]:
-    """Same capped self-join pattern over winnowing fingerprints
+    """Same capped + salted self-join pattern over winnowing fingerprints
     (shared-span pass): fp_rows = (conv_id, fp)."""
-    w = Window.partitionBy(key)
-    sized = fp_rows.withColumn("bucket_n", F.count("*").over(w)).filter(
-        F.col("bucket_n") >= 2
-    )
-    overflow = (
-        sized.filter(F.col("bucket_n") > cfg.max_band_bucket)
-        .groupBy(key)
-        .agg(F.first("bucket_n").alias("bucket_n"))
-    )
-    ok = sized.filter(F.col("bucket_n") <= cfg.max_band_bucket)
-    a = ok.alias("a")
-    b = ok.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col(f"a.{key}") == F.col(f"b.{key}"))
-            & (F.col("a.conv_id") < F.col("b.conv_id")),
-        )
-        .select(
-            F.col("a.conv_id").alias("conv_id_a"),
-            F.col("b.conv_id").alias("conv_id_b"),
-        )
-        .distinct()
-    )
-    return pairs, overflow
+    return _capped_pairs(fp_rows, [key], cfg)

@@ -98,23 +98,77 @@ def shingle_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return out
 
 
+def near_dup_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(conv_id, shset, minhash, simhash, sgs) — EVERY near-dup leg's
+    features in the ONE conv_id-partitioned pass.
+
+    Round 2 checkpointed (conv_id, shset, grams) and let each p7 leg
+    derive its own structures: the span leg re-shuffled the positional
+    gram arrays (the dominant table — ~70% of checkpoint bytes) through a
+    fresh ``repartition(conv_id)`` + window, and the minhash/simhash legs
+    re-ran their Arrow kernels and re-materialized signatures per leg.
+    Profiled at 5.2M turns / 8 executors, re-serializing the gram arrays
+    through that exchange was the single largest stage of the span leg
+    (~27 s/task x 35 tasks map-side).
+
+    Here the token-granularity data is consumed WHERE IT ALREADY LIVES:
+    shingle_features' output is hash-partitioned by conv_id, so the
+    supershingle window + collect_set and both Arrow signature kernels run
+    exchange-free, and ``grams`` never leaves this operator. The p7 legs
+    then shuffle only signatures and band keys — bytes per doc, not bytes
+    per token. (Reference analogue: the cascade hands PHASE SUMMARIES
+    between phases, never re-derives file contents — phase_2.go:15-40.)
+    """
+    mh = make_minhash_udf(cfg.lsh_perms_used, cfg.minhash_seed)
+    window = max(cfg.span_min_tokens - cfg.shingle_k + 1, 1)
+    feats = shingle_features(docs, cfg)
+    g = feats.select("conv_id", F.posexplode("grams").alias("pos", "gh"))
+    w_frame = (
+        Window.partitionBy("conv_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    sgs = (
+        g.withColumn("arr", F.collect_list("gh").over(w_frame))
+        .filter(F.size("arr") == window)
+        .select("conv_id", F.xxhash64("arr").alias("sg"))
+        .groupBy("conv_id")
+        .agg(F.collect_set("sg").alias("sgs"))
+    )
+    return feats.join(sgs, "conv_id", "left").select(
+        "conv_id",
+        "shset",
+        mh("shset").alias("minhash"),
+        simhash_udf("shset").alias("simhash"),
+        F.coalesce("sgs", F.array().cast("array<bigint>")).alias("sgs"),
+    )
+
+
 def minhash_pairs(
     features: DataFrame, cfg: PipelineConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """MinHash/LSH candidates verified by exact Jaccard >= tau."""
-    mh = make_minhash_udf(cfg.lsh_perms_used, cfg.minhash_seed)
-    # empty shingle sets are dropped BEFORE signing (like the simhash leg):
+    """MinHash/LSH candidates verified by exact Jaccard >= tau.
+
+    ``features`` with a precomputed ``minhash`` column (near_dup_features
+    checkpoint) skips signing entirely; otherwise signatures are computed
+    here from ``shset`` (the standalone-query path)."""
+    # empty shingle sets are dropped BEFORE banding (like the simhash leg):
     # every empty doc gets the identical all-zero signature, so they would
     # all collide in every band and then "verify" at jaccard 1.0 through
     # the expensive path — the exact cascade owns verbatim-empty dups.
-    # eager: the band self-join + bucket-size window would otherwise
-    # re-evaluate the Arrow kernel once per probe side (at 10^12 scale the
-    # signatures are their own checkpoint table — see plans/pipeline.py)
-    sigs = (
-        features.filter(F.size("shset") > 0)
-        .select("conv_id", mh("shset").alias("minhash"))
-        .localCheckpoint(eager=True)
-    )
+    if "minhash" in features.columns:
+        # recompute = re-read of the checkpoint table: no eager copy needed
+        sigs = features.filter(F.size("shset") > 0).select(
+            "conv_id", "minhash"
+        )
+    else:
+        mh = make_minhash_udf(cfg.lsh_perms_used, cfg.minhash_seed)
+        # eager: the band self-join + bucket-size window would otherwise
+        # re-evaluate the Arrow kernel once per probe side
+        sigs = (
+            features.filter(F.size("shset") > 0)
+            .select("conv_id", mh("shset").alias("minhash"))
+            .localCheckpoint(eager=True)
+        )
     bands = lsh_band_rows(sigs, cfg)
     cands, overflow = candidate_pairs(bands, cfg)
     verified = verify_jaccard(
@@ -128,15 +182,21 @@ def simhash_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """SimHash fuzz pass: Hamming <= h (exact by construction). Returns
     (pairs, overflow) — capped hot chunk buckets are counted like the LSH
-    band buckets, never silently dropped."""
+    band buckets, never silently dropped. A precomputed ``simhash`` column
+    (near_dup_features checkpoint) skips the Arrow kernel."""
     # empty docs share simhash 0; drop them (an empty doc is not a fuzz
     # match of another empty doc in any useful sense; exact cascade owns it).
-    # eager: the pigeonhole self-join would re-run the Arrow kernel per side.
-    sims = (
-        features.filter(F.size("shset") > 0)
-        .select("conv_id", simhash_udf("shset").alias("simhash"))
-        .localCheckpoint(eager=True)
-    )
+    if "simhash" in features.columns:
+        sims = features.filter(F.size("shset") > 0).select(
+            "conv_id", "simhash"
+        )
+    else:
+        # eager: the pigeonhole self-join would re-run the kernel per side.
+        sims = (
+            features.filter(F.size("shset") > 0)
+            .select("conv_id", simhash_udf("shset").alias("simhash"))
+            .localCheckpoint(eager=True)
+        )
     return simhash_candidate_pairs(
         sims, cfg.simhash_hamming, max_bucket=cfg.max_band_bucket
     )
@@ -219,22 +279,34 @@ def span_pairs(
     vocabulary made fingerprints collide so heavily that 30M candidate
     pairs reached Python (~12,000 core-seconds — 70% of pipeline wall,
     zero scaling). The supershingle join needs no verify step: candidates
-    ARE verified pairs. ``span_tokens`` = shared_supershingles + window +
-    k - 2 — exactly difflib's longest-common-run length for a single
-    shared span, an upper bound (total shared content) when a pair shares
-    several disjoint spans. The winnowing operators remain as the
+    ARE verified pairs. ``span_tokens`` = shared DISTINCT supershingles +
+    window + k - 2 — equal to difflib's longest-common-run length for a
+    single shared span of non-repeating windows, above it (total shared
+    content) when a pair shares several disjoint spans, and BELOW it when
+    a shared span internally repeats identical windows (a run of repeated
+    tokens collapses to one distinct supershingle): a span-length
+    estimate, exact in the common case. Pair MEMBERSHIP is exact always
+    (>= 1 shared supershingle iff a >= span_min_tokens span is shared,
+    modulo 64-bit collisions). The winnowing operators remain as the
     candidate-generation path for sub-span similarity (and the
     winnow_span_candidates oracle query); the difflib kernel remains as
     the differential-parity oracle (tests/test_span_exact.py).
 
     Returns (pairs, overflow): hot supershingle buckets (corpus
     boilerplate >= cfg.max_band_bucket docs) are capped and counted like
-    every other candidate join.
+    every other candidate join. A precomputed ``sgs`` array column
+    (near_dup_features checkpoint) skips the gram re-shuffle + window
+    entirely — the round-2 plan re-serialized the full positional gram
+    arrays through a fresh exchange per run, the span leg's largest stage.
     """
     window = max(cfg.span_min_tokens - cfg.shingle_k + 1, 1)
-    sgs = supershingle_rows(features, window).localCheckpoint(
-        eager=True
-    )  # feeds the bucket-size window plus both sides of the self-join
+    if "sgs" in features.columns:
+        # recompute = checkpoint re-read + explode: cheap on both probe sides
+        sgs = features.select("conv_id", F.explode("sgs").alias("sg"))
+    else:
+        sgs = supershingle_rows(features, window).localCheckpoint(
+            eager=True
+        )  # feeds the bucket-size window plus both sides of the self-join
     w = Window.partitionBy("sg")
     sized = sgs.withColumn("bucket_n", F.count("*").over(w)).filter(
         F.col("bucket_n") >= 2
@@ -284,7 +356,7 @@ def exact_pairs_from_clusters(exact_clusters: DataFrame) -> DataFrame:
 def run_near_dup(
     docs: DataFrame, exact_clusters: DataFrame | None, cfg: PipelineConfig
 ) -> dict[str, DataFrame]:
-    features = shingle_features(docs, cfg).localCheckpoint(eager=False)
+    features = near_dup_features(docs, cfg).localCheckpoint(eager=True)
     mh_pairs, mh_overflow = minhash_pairs(features, cfg)
     sh_pairs, sh_overflow = simhash_pairs(features, cfg)
     sp_pairs, sp_overflow = span_pairs(features, cfg)

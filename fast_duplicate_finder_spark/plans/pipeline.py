@@ -44,7 +44,7 @@ from fast_duplicate_finder_spark.operators.group_dedup import (
 from fast_duplicate_finder_spark.operators.neardup import (
     exact_pairs_from_clusters,
     minhash_pairs,
-    shingle_features,
+    near_dup_features,
     simhash_pairs,
     span_pairs,
 )
@@ -179,9 +179,14 @@ def run_pipeline(
             lambda: assemble_conversations(transcripts),
             ["input"],
         )
+        # ONE conv_id-partitioned pass computes every leg's features
+        # (shset + minhash/simhash signatures + supershingle sets); the
+        # positional gram arrays never leave it, so the p7 legs below
+        # shuffle bytes-per-doc, not bytes-per-token, and re-run no Arrow
+        # kernels (round 2 re-shuffled grams per leg — its largest stage)
         features = run_phase(
             "p6_features",
-            lambda: shingle_features(all_docs, cfg),
+            lambda: near_dup_features(all_docs, cfg),
             ["p6_all_docs"],
         )
 

@@ -12,10 +12,12 @@ checkpointed table per phase with a manifest carrying:
 * the input snapshot id when known (Iceberg snapshot-isolation analogue of
   the reference's size-stability recheck, phase_3.go:36-46).
 
-Format: Iceberg when a runtime jar + catalog are configured (same API —
-set ``table_format='iceberg'``), else a Hadoop-style Parquet layout with a
-JSON manifest. The v1 sandbox has no Iceberg jar, so parquet is the tested
-path; the API is the swap point, not the callers.
+Format: a Hadoop-style Parquet layout with a JSON manifest (the tested
+path). ``table_format='iceberg'`` is the swap point for a cluster with the
+iceberg-spark-runtime jar + a catalog: it is verified at write time via
+``iceberg_available`` and FAILS FAST when the runtime is absent (this
+sandbox has no jar, so the iceberg branch is exercised only as that
+guard) — the parameter is experimental until run against a real catalog.
 """
 
 from __future__ import annotations
@@ -56,12 +58,30 @@ def parquet_snapshot_id(path: str) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg runtime is on the JVM classpath (the
+    iceberg-spark-runtime jar ships ``org.apache.iceberg.Table``)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.Table"
+        )
+        return True
+    except Exception:
+        return False
+
+
 @dataclass
 class CheckpointStore:
     spark: SparkSession
     base_dir: str
     fingerprint: str
-    table_format: str = "parquet"  # "iceberg" when runtime jar present
+    table_format: str = "parquet"  # "iceberg" requires the
+                                   # iceberg-spark-runtime jar + a catalog;
+                                   # verified at write time (the sandbox has
+                                   # no jar, so parquet is the TESTED path
+                                   # and iceberg fails fast with a clear
+                                   # error rather than silently writing
+                                   # parquet — see write())
     snapshot_id: str | None = None  # input snapshot (parquet_snapshot_id /
                                     # Iceberg snapshot); resume refuses a
                                     # checkpoint taken of a different input
@@ -104,6 +124,15 @@ class CheckpointStore:
         phase boundaries)."""
         path = self._dir(phase)
         data_path = os.path.join(path, "data")
+        if self.table_format == "iceberg" and not iceberg_available(
+            self.spark
+        ):
+            raise RuntimeError(
+                "table_format='iceberg' requested but no Iceberg runtime is "
+                "on the JVM classpath (need iceberg-spark-runtime + a "
+                "configured catalog); refusing to silently fall back to "
+                "parquet — pass table_format='parquet' explicitly"
+            )
         # Guarantee downstream parallelism WITHOUT a blanket shuffle: AQE
         # coalesces small phase outputs to one or two files, and a 1-file
         # parquet checkpoint then feeds every later stage (including the

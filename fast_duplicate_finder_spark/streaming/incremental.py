@@ -11,9 +11,15 @@ cascade incremental without reprocessing history:
   (window-ordered concat — the batch operator, reused verbatim), full-hashes
   them, and joins against the persistent *seen-hash* state table: hashes
   already seen are appended to a duplicates log, new hashes extend the state.
-  State is a parquet table partitioned by hash prefix — at scale this is the
-  Iceberg MERGE target; the batch join is broadcast when the micro-batch is
-  small, shuffle otherwise (left to AQE).
+  State is a parquet table partitioned by (epoch_id, hash prefix):
+  - the per-batch state read is PRUNED to the micro-batch's own hash
+    prefixes (partition filter, no full-state scan per micro-batch);
+  - a replayed epoch (at-least-once foreachBatch restart) dynamic-overwrites
+    exactly its own epoch partitions — state and dup log are both
+    idempotent with NO per-batch epoch-probe job; the join simply excludes
+    the current epoch's own partitions;
+  - at scale this layout is the Iceberg MERGE target; the batch join is
+    broadcast when the micro-batch is small, shuffle otherwise (AQE).
 * ``sessionize`` — event-time session windows (``F.session_window``) with a
   watermark for late data. The same expression works on a batch DataFrame
   (all sessions emitted) and on a stream (sessions emitted as the watermark
@@ -52,35 +58,46 @@ def stream_transcripts(
     return reader.parquet(path)
 
 
+N_STATE_PREFIXES = 64  # hash-prefix partitions of the state table
+
+
 def _dedup_batch(
     batch: DataFrame, epoch_id: int, state_dir: str, dups_dir: str
 ) -> None:
     """One micro-batch: assemble -> hash -> split into (seen = duplicate,
-    unseen = new state). Runs on the executors; only paths/counters touch
-    the driver."""
+    unseen = new state). Runs on the executors; only paths and the batch's
+    (tiny, <= N_STATE_PREFIXES) prefix list touch the driver.
+
+    Replay safety without any epoch-probe job: the joins read only PRIOR
+    epochs' partitions (epoch_id != current), so a replayed batch computes
+    byte-identical dups/firsts from the same deterministic input, and both
+    writes dynamic-overwrite exactly their own epoch partitions."""
     spark = batch.sparkSession
     docs = assemble_conversations(batch)
     hashed = docs.select(
-        "conv_id", F.xxhash64("doc").alias("fhash"), "size"
-    )
+        "conv_id",
+        F.xxhash64("doc").alias("fhash"),
+        "size",
+    ).withColumn(
+        "hp", F.pmod(F.col("fhash"), F.lit(N_STATE_PREFIXES)).cast("int")
+    ).localCheckpoint(eager=True)  # reused by prefix scan + two joins
     state_data = os.path.join(state_dir, "data")
     have_state = os.path.exists(state_data)
     if have_state:
-        seen = spark.read.parquet(state_data)
-        # replayed epoch (at-least-once restart): drop rows already recorded
-        if seen.filter(F.col("epoch_id") == epoch_id).limit(1).count() > 0:
-            hashed = hashed.join(
-                seen.filter(F.col("epoch_id") == epoch_id).select("conv_id"),
-                "conv_id",
-                "left_anti",
-            )
+        # prune the state read to the prefixes this batch actually touches
+        # (partition filter on hp) and to epochs other than our own (a
+        # replayed epoch must not see its own crashed half-write)
+        prefixes = [r["hp"] for r in hashed.select("hp").distinct().collect()]
+        seen = (
+            spark.read.parquet(state_data)
+            .filter(F.col("epoch_id") != epoch_id)
+            .filter(F.col("hp").isin(prefixes))
+        )
         dup_hits = hashed.join(
             seen.select("fhash", F.col("conv_id").alias("first_conv_id")),
             "fhash",
-        )
-        new_rows = hashed.join(
-            seen.select("fhash"), "fhash", "left_anti"
-        )
+        ).select("conv_id", "fhash", "size", "hp", "first_conv_id")
+        new_rows = hashed.join(seen.select("fhash"), "fhash", "left_anti")
     else:
         dup_hits = None
         new_rows = hashed
@@ -92,21 +109,23 @@ def _dedup_batch(
     dups = (
         dup_hits.unionByName(intra_dups) if dup_hits is not None else intra_dups
     )
-    # ONE epoch-partitioned dynamic-overwrite write makes the dup log
-    # idempotent under at-least-once replay: a re-run epoch (including a
-    # crash between the dup-log and state writes) overwrites exactly its own
-    # epoch partition instead of appending a second copy.
-    dups.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+    # Epoch-partitioned dynamic-overwrite writes make BOTH tables idempotent
+    # under at-least-once replay: a re-run epoch (including a crash between
+    # the dup-log and state writes) overwrites exactly its own epoch
+    # partitions instead of appending a second copy.
+    dups.select("conv_id", "fhash", "size", "first_conv_id").withColumn(
+        "epoch_id", F.lit(epoch_id)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("epoch_id").parquet(os.path.join(dups_dir, "data"))
+    firsts = tagged.filter(F.col("conv_id") == F.col("first_conv_id")).select(
+        "fhash", "conv_id", "size", "hp"
+    )
+    firsts.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
         "overwrite"
     ).option("partitionOverwriteMode", "dynamic").partitionBy(
-        "epoch_id"
-    ).parquet(os.path.join(dups_dir, "data"))
-    firsts = tagged.filter(F.col("conv_id") == F.col("first_conv_id")).select(
-        "fhash", "conv_id", "size"
-    )
-    firsts.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
-        state_data
-    )
+        "epoch_id", "hp"
+    ).parquet(state_data)
 
 
 def run_incremental_dedup(

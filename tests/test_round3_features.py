@@ -157,3 +157,83 @@ def test_summarize_single_collect(spark):
     assert empty["file_sets"] == 0
     assert empty["wasted_space_chars"] == 0
     assert empty["folder_sets"] == 0 and empty["near_dup_clusters"] == 0
+
+
+# --- LSH band salting: hot-but-under-cap buckets split across tasks ----------
+
+def test_salted_pairs_match_unsalted_and_split_tasks(spark):
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from fast_duplicate_finder_spark.operators.lsh import (
+        candidate_pairs,
+        two_level_pairs,
+    )
+
+    # one hot band bucket (300 members, under cap) + a small bucket
+    rows = [(f"c{i:04d}", 0, 111) for i in range(300)]
+    rows += [(f"z{i}", 1, 222) for i in range(4)]
+    band_rows = spark.createDataFrame(
+        rows, "conv_id string, band_id int, band_hash long"
+    )
+    salted_cfg = replace(CFG, band_salt_buckets=8, max_band_bucket=2000)
+    plain_cfg = replace(CFG, band_salt_buckets=1, max_band_bucket=2000)
+    got_salted, ovf_s = candidate_pairs(band_rows, salted_cfg)
+    got_plain, ovf_p = candidate_pairs(band_rows, plain_cfg)
+    a = {tuple(r) for r in got_salted.collect()}
+    b = {tuple(r) for r in got_plain.collect()}
+    assert a == b  # identical pair sets
+    assert len(a) == 300 * 299 // 2 + 4 * 3 // 2
+    assert ovf_s.count() == 0 == ovf_p.count()
+
+    # skew evidence: the hot bucket's pair enumeration spans >= several
+    # reducer tasks when salted (pre-distinct partition ids of the join).
+    # AQE's small-partition coalescing would re-merge this TOY bucket into
+    # one task (correct at this size); disable it for the evidence query —
+    # a genuinely hot bucket's cells are too big to coalesce.
+    hot = band_rows.filter(F.col("band_id") == 0).withColumn(
+        "bucket_n", F.lit(300)
+    )
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key)
+    try:
+        spark.conf.set(coalesce_key, "false")
+        cells = (
+            two_level_pairs(hot, ["band_id", "band_hash"], 8)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set(coalesce_key, old)
+    assert cells >= 4  # 8 salt cells across >= 4 distinct tasks
+
+
+def test_salted_pairs_respect_cap_overflow(spark):
+    from dataclasses import replace
+
+    from fast_duplicate_finder_spark.operators.lsh import candidate_pairs
+
+    rows = [(f"c{i}", 0, 7) for i in range(50)]
+    band_rows = spark.createDataFrame(
+        rows, "conv_id string, band_id int, band_hash long"
+    )
+    cfg = replace(CFG, band_salt_buckets=4, max_band_bucket=10)
+    pairs, overflow = candidate_pairs(band_rows, cfg)
+    assert pairs.count() == 0  # whole bucket over cap: no pairs
+    ovf = overflow.collect()
+    assert len(ovf) == 1 and ovf[0]["bucket_n"] == 50  # counted, not silent
+
+
+# --- Iceberg swap point: fail fast, never silently write parquet -------------
+
+def test_iceberg_format_fails_fast_without_runtime(spark, tmp_path):
+    from fast_duplicate_finder_spark.storage import iceberg_available
+
+    assert not iceberg_available(spark)  # sandbox ships no iceberg jar
+    store = CheckpointStore(
+        spark, str(tmp_path / "ck"), "fp", table_format="iceberg"
+    )
+    with pytest.raises(RuntimeError, match="iceberg"):
+        store.write(spark.range(3).toDF("v"), "p0")

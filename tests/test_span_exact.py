@@ -65,7 +65,12 @@ def test_supershingle_span_matches_difflib_oracle(spark):
     assert len(new) > 0
     for pair, st in new.items():
         # equal for single shared spans; supershingle counts total shared
-        # content, so it can only exceed difflib's longest single run
+        # content, so on THIS corpus it can only exceed difflib's longest
+        # single run. (Not an invariant in general: a span that internally
+        # repeats identical windows collapses to fewer DISTINCT
+        # supershingles and would undercount — the 200-word random
+        # vocabulary cannot produce a repeated 38-gram window, so the
+        # lower-bound case is unreachable here. See span_pairs docstring.)
         assert st >= old[pair], (pair, st, old[pair])
     # exact-duplicate families share their whole document: single span
     exact = [p for p in new if new[p] == old[p]]

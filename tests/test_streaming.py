@@ -136,3 +136,53 @@ def test_sessionize_streaming_runs(spark, tmp_path):
         spark.read.parquet(src), gap="30 minutes"
     ).count()
     assert 0 <= emitted <= batch_n
+
+
+def test_state_partitioned_by_prefix_and_replay_idempotent(spark, tmp_path):
+    """Round-3: state layout is (epoch_id, hp) partitions (docstring and
+    code agree); an at-least-once replay of the SAME epoch — including the
+    crash-between-writes window — leaves state and dup log byte-identical,
+    with no epoch-probe job."""
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        N_STATE_PREFIXES,
+        _dedup_batch,
+    )
+
+    t = generate_transcripts(spark, n_convs=80, seed=11)
+    convs = sorted(r["conv_id"] for r in t.select("conv_id").distinct().collect())
+    half = set(convs[: len(convs) // 2])
+    b1 = t.filter(F.col("conv_id").isin(half))
+    b2 = t.filter(~F.col("conv_id").isin(half))
+    sd, dd = str(tmp_path / "state"), str(tmp_path / "dups")
+    _dedup_batch(b1, 0, sd, dd)
+    _dedup_batch(b2, 1, sd, dd)
+
+    state_path = os.path.join(sd, "data")
+    top = set(os.listdir(state_path))
+    assert any(d.startswith("epoch_id=") for d in top)  # layout: epoch dirs
+    ep0 = os.path.join(state_path, "epoch_id=0")
+    assert any(d.startswith("hp=") for d in os.listdir(ep0))  # hash-prefix dirs
+
+    state1 = sorted(
+        tuple(r) for r in spark.read.parquet(state_path).collect()
+    )
+    dups1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(dd, "data")).collect()
+    )
+    assert state1 and dups1  # planted dups across the batch boundary
+
+    _dedup_batch(b2, 1, sd, dd)  # replay epoch 1 (at-least-once restart)
+    state2 = sorted(
+        tuple(r) for r in spark.read.parquet(state_path).collect()
+    )
+    dups2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(dd, "data")).collect()
+    )
+    assert state1 == state2
+    assert dups1 == dups2
+    hps = {
+        r["hp"] for r in spark.read.parquet(state_path).select("hp").collect()
+    }
+    assert hps <= set(range(N_STATE_PREFIXES))
