@@ -67,17 +67,25 @@ def run_leg(master: str, input_path: str, ckpt: str, shuffle: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-convs", type=int, default=120_000)
-    ap.add_argument("--cores-per-executor", type=int, default=8)
+    # defaults = the documented BENCH/BASELINE.md protocol: 2 vs 8
+    # executors x 4 cores x 10 GiB, 800k convs / 5.17M turns (big enough
+    # that phase-boundary fixed cost is amortized — see BASELINE.md)
+    ap.add_argument("--n-convs", type=int, default=800_000)
+    ap.add_argument("--cores-per-executor", type=int, default=4)
     ap.add_argument("--mem-mb", type=int, default=10240)
-    ap.add_argument("--small-n", type=int, default=1)
+    ap.add_argument("--small-n", type=int, default=2)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--work-dir", default="/tmp/fdf_scaling")
+    ap.add_argument("--corpus", default=None,
+                    help="existing corpus parquet dir (default "
+                         "{work-dir}/corpus_{n_convs}, generated if absent)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH",
-                                                  "ladder_r2.json"))
+                                                  "ladder_r3.json"))
     args = ap.parse_args()
 
-    corpus = os.path.join(args.work_dir, "corpus")
+    corpus = args.corpus or os.path.join(
+        args.work_dir, f"corpus_{args.n_convs}"
+    )
     os.makedirs(args.work_dir, exist_ok=True)
     ensure_corpus(corpus, args.n_convs)
 
