@@ -15,7 +15,7 @@ Protocol (memory: spark-bench-pitfalls — noisy host, orphan JVMs):
 * the measured job is the full 9-phase pipeline on the same parquet corpus,
   after input + pandas-UDF warmup inside each leg.
 
-Writes BENCH/ladder_r2.json and prints the efficiency line for
+Writes BENCH/ladder_r3.json and prints the efficiency line for
 BENCH/BASELINE.md.
 """
 
@@ -57,7 +57,7 @@ def run_leg(master: str, input_path: str, ckpt: str, shuffle: int) -> dict:
     ]
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, timeout=3600
+        cmd, env=env, capture_output=True, text=True, timeout=7200
     )
     if out.returncode != 0:
         raise RuntimeError(f"leg failed: {master}\n{out.stderr[-4000:]}")
