@@ -276,6 +276,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       by df with ties kept (``rank()``, not ``row_number()``) so the rule
       is hash-representation-independent and DuckDB replays it exactly.
 
+    A third rule — the AllPairs LENGTH filter, tau*|A| <= |B| <= |A|/tau
+    on the candidate join — is applied Spark-side only: it is implied by
+    J >= tau (J <= min(|A|,|B|)/max(|A|,|B|)), so it prunes only
+    candidates that exact verification would reject anyway and the oracle
+    needs no mirror. Plan shape (1.9x together at sf0.1): df comes from a
+    count window over the same shingle-partitioned exchange instead of a
+    groupBy + re-join (which shuffled every shingle row twice), and the
+    prefix table is eagerly materialized once so the self-join's two
+    sides don't each recompute the window-stack lineage.
+
     Verification: the intersection for surviving candidates uses ALL
     shingles (array_intersect over per-doc shset arrays — joins
     proportional to |candidates|), so reported jaccard values are exact; a
@@ -286,23 +296,26 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = dup_corpus(spark, sf_dir)
     shsets = _shingle_sets(c)
     sh = shsets.select("doc_id", F.explode("shset").alias("s"))
-    dfs = sh.groupBy("s").agg(F.count("*").alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df")
     w_n = Window.partitionBy("doc_id")
     pref = (
-        sh.join(dfs, "s")
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .withColumn("rk", F.rank().over(w_doc))
         .withColumn("n", F.count("*").over(w_n))
         .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") * 0.5) + 1)
         .filter((F.col("df") >= 2) & (F.col("df") <= _JACCARD_DF_CAP))
-        .select("doc_id", "s")
-    )
+        .select("doc_id", "s", "n")
+        .localCheckpoint(eager=True)  # prefix rows only (small); feeds
+    )                                 # both sides of the self-join
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # lossless length filter: J >= 0.5 forces sizes within 2x
+            & (F.col("b.n") * 2 >= F.col("a.n"))
+            & (F.col("a.n") * 2 >= F.col("b.n")),
         )
         .select(
             F.col("a.doc_id").alias("conv_id_a"),
