@@ -102,7 +102,7 @@ def run_pipeline(
     n_phases = 6 + (3 if with_groups else 0) + (7 if with_near_dup else 0)
     counter = {"i": 0}
 
-    def run_phase(phase, compute, lineage):
+    def run_phase(phase, compute, lineage, **write_kwargs):
         """Phase boundary: cancellation check + job-group tagging + progress
         fanout around the checkpointed compute (run_finder.go:45-79's
         between-phase ctx checks; status.go:55-81's callback fanout)."""
@@ -110,7 +110,9 @@ def run_pipeline(
         counter["i"] += 1
         cancel.enter_phase(phase)
         progress.phase_start(phase, counter["i"], n_phases)
-        out = store.get_or_compute(phase, compute, lineage, resume)
+        out = store.get_or_compute(
+            phase, compute, lineage, resume, **write_kwargs
+        )
         progress.phase_done(
             phase, counter["i"], n_phases,
             store.metrics[-1] if store.metrics else {},
@@ -184,10 +186,17 @@ def run_pipeline(
         # positional gram arrays never leave it, so the p7 legs below
         # shuffle bytes-per-doc, not bytes-per-token, and re-run no Arrow
         # kernels (round 2 re-shuffled grams per leg — its largest stage)
+        # bucketed by conv_id: near_dup_features' output is already
+        # hash-partitioned on conv_id (shuffle.partitions tasks), so the
+        # bucketed write adds no shuffle and ~one file per bucket — and
+        # every later conv_id-keyed consumer of the WIDEST checkpoint
+        # (the verify joins of each p7 leg once candidates outgrow
+        # broadcast, and any resumed session) reads it exchange-free
         features = run_phase(
             "p6_features",
             lambda: near_dup_features(all_docs, cfg),
             ["p6_all_docs"],
+            bucket_by=["conv_id"],
         )
 
         # Each near-dup leg is its own checkpointed phase: finer-grained

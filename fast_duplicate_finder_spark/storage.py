@@ -90,6 +90,19 @@ class CheckpointStore:
     def _dir(self, phase: str) -> str:
         return os.path.join(self.base_dir, phase)
 
+    def _table_name(self, phase: str) -> str:
+        """Deterministic catalog name for a bucketed checkpoint: derivable
+        from (base_dir, fingerprint, phase) alone so a FRESH session can
+        re-register the external table from the manifest."""
+        import hashlib
+        import re
+
+        key = hashlib.sha256(
+            f"{os.path.abspath(self.base_dir)}|{self.fingerprint}".encode()
+        ).hexdigest()[:12]
+        ph = re.sub(r"[^0-9a-zA-Z]", "_", phase).lower()
+        return f"fdf_ckpt_{key}_{ph}"
+
     def _manifest_path(self, phase: str) -> str:
         return os.path.join(self._dir(phase), "_MANIFEST.json")
 
@@ -118,10 +131,26 @@ class CheckpointStore:
         phase: str,
         lineage: list[str] | None = None,
         counters: dict | None = None,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = 0,
+        sort_by: list[str] | None = None,
     ) -> DataFrame:
         """Write + manifest; returns the re-read DataFrame (so downstream
         phases read the checkpoint, truncating lineage like the reference's
-        phase boundaries)."""
+        phase boundaries).
+
+        ``bucket_by`` writes a BUCKETED external table instead of plain
+        parquet: the re-read scan carries ``hashpartitioning(bucket_by)``
+        output partitioning, so every downstream join/agg keyed on the
+        bucket columns skips its Exchange of THIS table — across resumes
+        and fresh sessions (plain parquet forgets its distribution the
+        moment it is written; the widest checkpoint then re-shuffles once
+        per consumer). ``bucketBy`` does not itself shuffle: when the
+        incoming plan is already hash-partitioned on the bucket columns
+        with ``n_buckets`` partitions (shuffle.partitions default), each
+        task writes exactly one bucket file. (Iceberg swap point: a
+        ``bucket(N, col)`` partition transform + storage-partitioned
+        joins express the same contract.)"""
         path = self._dir(phase)
         data_path = os.path.join(path, "data")
         if self.table_format == "iceberg" and not iceberg_available(
@@ -146,24 +175,46 @@ class CheckpointStore:
         # small (where the rewrite is by construction cheap) rebalance it
         # to defaultParallelism in a second pass.
         target = self.spark.sparkContext.defaultParallelism
-        df.write.mode("overwrite").parquet(data_path)
-        try:
-            files = [
-                e
-                for e in os.scandir(data_path)
-                if e.name.endswith(".parquet") and e.is_file()
-            ]
-            n_files = len(files)
-            total_bytes = sum(e.stat().st_size for e in files)
-        except OSError:
-            n_files, total_bytes = target, 0
-        if n_files < target and total_bytes < (256 << 20):
-            rebal = self.spark.read.parquet(data_path).repartition(target)
-            tmp_path = data_path + ".rebal"
-            rebal.write.mode("overwrite").parquet(tmp_path)
-            shutil.rmtree(data_path)
-            os.replace(tmp_path, data_path)
-        out = self.spark.read.parquet(data_path)
+        if bucket_by:
+            if n_buckets <= 0:
+                n_buckets = int(
+                    self.spark.conf.get("spark.sql.shuffle.partitions")
+                )
+            name = self._table_name(phase)
+            # external table may exist from an earlier run against a
+            # DIFFERENT path (tests, moved checkpoint dirs): drop the
+            # catalog entry (files untouched) before re-creating
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            if os.path.isdir(data_path):
+                shutil.rmtree(data_path)
+            writer = (
+                df.write.mode("overwrite")
+                .option("path", data_path)
+                .bucketBy(n_buckets, *bucket_by)
+            )
+            if sort_by:
+                writer = writer.sortBy(*sort_by)
+            writer.saveAsTable(name)
+            out = self.spark.table(name)
+        else:
+            df.write.mode("overwrite").parquet(data_path)
+            try:
+                files = [
+                    e
+                    for e in os.scandir(data_path)
+                    if e.name.endswith(".parquet") and e.is_file()
+                ]
+                n_files = len(files)
+                total_bytes = sum(e.stat().st_size for e in files)
+            except OSError:
+                n_files, total_bytes = target, 0
+            if n_files < target and total_bytes < (256 << 20):
+                rebal = self.spark.read.parquet(data_path).repartition(target)
+                tmp_path = data_path + ".rebal"
+                rebal.write.mode("overwrite").parquet(tmp_path)
+                shutil.rmtree(data_path)
+                os.replace(tmp_path, data_path)
+            out = self.spark.read.parquet(data_path)
         # Per-partition counters from the parquet FOOTERS (driver-side
         # metadata reads), not a Spark job: the old groupBy(partition_id)
         # re-scanned every checkpoint in full — one extra all-data pass per
@@ -178,6 +229,10 @@ class CheckpointStore:
             "snapshot_id": self.snapshot_id,
             "rows": int(sum(per_part.values())),
             "partitions": per_part,
+            "bucket_by": bucket_by or [],
+            "n_buckets": n_buckets if bucket_by else 0,
+            "sort_by": sort_by or [],
+            "schema_json": df.schema.json() if bucket_by else None,
             "lineage": lineage or [],
             "counters": counters or {},
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -215,7 +270,43 @@ class CheckpointStore:
             return {str(r["pid"]): int(r["count"]) for r in per}
 
     def read(self, phase: str) -> DataFrame:
+        try:
+            m = self.manifest(phase)
+        except (OSError, json.JSONDecodeError):
+            m = {}
+        if m.get("bucket_by"):
+            return self._bucketed_read(phase, m)
         return self.spark.read.parquet(os.path.join(self._dir(phase), "data"))
+
+    def _bucketed_read(self, phase: str, m: dict) -> DataFrame:
+        """Read a bucketed checkpoint THROUGH the catalog (a plain
+        ``read.parquet`` of the same files loses the bucket spec and with
+        it the exchange-free joins). A fresh session re-registers the
+        external table from the manifest's schema + bucket spec."""
+        from pyspark.sql.types import StructType
+
+        name = self._table_name(phase)
+        if not self.spark.catalog.tableExists(name):
+            schema = StructType.fromJson(json.loads(m["schema_json"]))
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+            )
+            bucket_cols = ", ".join(f"`{c}`" for c in m["bucket_by"])
+            sorted_by = (
+                " SORTED BY ({})".format(
+                    ", ".join(f"`{c}`" for c in m["sort_by"])
+                )
+                if m.get("sort_by")
+                else ""
+            )
+            data_path = os.path.join(self._dir(phase), "data")
+            self.spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({bucket_cols}){sorted_by} "
+                f"INTO {m['n_buckets']} BUCKETS "
+                f"LOCATION '{os.path.abspath(data_path)}'"
+            )
+        return self.spark.table(name)
 
     def manifest(self, phase: str) -> dict:
         with open(self._manifest_path(phase)) as f:
@@ -227,6 +318,7 @@ class CheckpointStore:
         compute,
         lineage: list[str] | None = None,
         resume: bool = True,
+        **write_kwargs,
     ) -> DataFrame:
         """Skip phases whose checkpoint exists under the same config
         fingerprint — the resume contract (BASELINE.md resumability row)."""
@@ -234,6 +326,6 @@ class CheckpointStore:
             self.metrics.append({"phase": phase, "resumed": True})
             return self.read(phase)
         t0 = time.perf_counter()
-        out = self.write(compute(), phase, lineage=lineage)
+        out = self.write(compute(), phase, lineage=lineage, **write_kwargs)
         self.metrics[-1]["seconds"] = round(time.perf_counter() - t0, 2)
         return out

@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from fast_duplicate_finder_spark.config import PipelineConfig
 from fast_duplicate_finder_spark.corpus import generate_transcripts
@@ -237,3 +238,69 @@ def test_iceberg_format_fails_fast_without_runtime(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="iceberg"):
         store.write(spark.range(3).toDF("v"), "p0")
+
+
+# --- Bucketed checkpoints: distribution survives the write ------------------
+
+def _mk_features(spark):
+    return spark.range(0, 200).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 7).alias("v"),
+    ).repartition("conv_id")
+
+
+def test_bucketed_checkpoint_roundtrip_and_manifest(spark, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ck"), "fpb")
+    out = store.write(
+        _mk_features(spark), "p6_features", bucket_by=["conv_id"]
+    )
+    assert out.count() == 200
+    m = store.manifest("p6_features")
+    assert m["bucket_by"] == ["conv_id"]
+    assert m["n_buckets"] == 8  # session shuffle.partitions
+    assert m["rows"] == 200
+    # rows identical through the catalog read
+    assert {r["conv_id"] for r in store.read("p6_features").collect()} == {
+        f"c{i}" for i in range(200)
+    }
+
+
+def test_bucketed_read_reregisters_in_fresh_catalog(spark, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ck"), "fpb2")
+    store.write(_mk_features(spark), "p6_features", bucket_by=["conv_id"])
+    name = store._table_name("p6_features")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # simulate a fresh session
+    fresh = CheckpointStore(spark, str(tmp_path / "ck"), "fpb2")
+    assert fresh.exists("p6_features")
+    got = fresh.read("p6_features")
+    assert got.count() == 200
+    assert spark.catalog.tableExists(name)  # re-registered from manifest
+
+
+def test_bucketed_checkpoint_join_skips_features_exchange(spark, tmp_path):
+    """The at-scale contract: with candidates too big to broadcast, a
+    conv_id join against the bucketed checkpoint shuffles ONLY the
+    candidate side — the bucketed scan satisfies hashpartitioning."""
+    store = CheckpointStore(spark, str(tmp_path / "ck"), "fpb3")
+    feats = store.write(
+        _mk_features(spark), "p6_features", bucket_by=["conv_id"]
+    )
+    cand = spark.range(0, 50).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            cand.join(feats, "conv_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Exchange") == 1  # candidate side only
+    # and an agg keyed on the bucket column needs no exchange at all
+    agg_plan = (
+        feats.groupBy("conv_id").agg(F.sum("v"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in agg_plan
