@@ -34,22 +34,49 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Planted-duplicate corpora (identical construction in Spark and DuckDB)
 # ---------------------------------------------------------------------------
 
+# Session-scoped materialization cache: nine catalog queries start from the
+# same planted corpus (and four from the embedding corpus); without this a
+# suite run re-reads + re-unions it cold per query. Keyed by applicationId
+# so entries die with their session (a localCheckpoint is session-local).
+# This is the catalog-side analogue of the pipeline's shared p6_features
+# checkpoint; inputs are immutable sf dirs, so staleness cannot arise.
+_MATERIALIZED: dict[tuple, DataFrame] = {}
+
+
+def _materialized(spark: SparkSession, key: tuple, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId,) + key
+    df = _MATERIALIZED.get(k)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        _MATERIALIZED[k] = df
+        # drop entries of dead sessions so long-lived processes don't leak
+        app = k[0]
+        for stale in [s for s in _MATERIALIZED if s[0] != app]:
+            del _MATERIALIZED[stale]
+    return df
+
+
 def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + planted exact copies (+100000), suffix-append near-dups
-    (+200000) and word-substitution near-dups (+300000)."""
-    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
-    )
-    suffix = d.filter(F.col("doc_id") % 10 == 1).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"),
-    )
-    edit = d.filter(F.col("doc_id") % 10 == 2).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.expr("replace(text, 'table', 'tables')").alias("text"),
-    )
-    return d.unionAll(exact).unionAll(suffix).unionAll(edit)
+    (+200000) and word-substitution near-dups (+300000). Materialized once
+    per (session, sf_dir) — see _MATERIALIZED."""
+
+    def build() -> DataFrame:
+        d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+        exact = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        suffix = d.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"),
+        )
+        edit = d.filter(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.expr("replace(text, 'table', 'tables')").alias("text"),
+        )
+        return d.unionAll(exact).unionAll(suffix).unionAll(edit)
+
+    return _materialized(spark, ("corpus", sf_dir), build)
 
 
 CORPUS_CTE = """corpus AS (
@@ -61,11 +88,14 @@ CORPUS_CTE = """corpus AS (
 
 
 def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = e.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
-    return e.unionAll(copies)
+    def build() -> DataFrame:
+        e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        copies = e.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        return e.unionAll(copies)
+
+    return _materialized(spark, ("emb", sf_dir), build)
 
 
 EMB_CTE = """emb AS (

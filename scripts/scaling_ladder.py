@@ -46,7 +46,8 @@ def ensure_corpus(path: str, n_convs: int) -> None:
     spark.stop()
 
 
-def run_leg(master: str, input_path: str, ckpt: str, shuffle: int) -> dict:
+def run_leg(master: str, input_path: str, ckpt: str, shuffle: int,
+            timed_runs: int = 1) -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "scripts", "scaling_leg.py"),
@@ -54,6 +55,7 @@ def run_leg(master: str, input_path: str, ckpt: str, shuffle: int) -> dict:
         "--input", input_path,
         "--ckpt", ckpt,
         "--shuffle-partitions", str(shuffle),
+        "--timed-runs", str(timed_runs),
     ]
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(
@@ -75,6 +77,10 @@ def main() -> int:
     ap.add_argument("--mem-mb", type=int, default=10240)
     ap.add_argument("--small-n", type=int, default=2)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--timed-runs", type=int, default=2,
+                    help="timed pipeline runs per warmed leg JVM; the leg "
+                         "reports the MIN (host throughput drifts 2-3x "
+                         "across 20-min windows — more samples per leg)")
     ap.add_argument("--work-dir", default="/tmp/fdf_scaling")
     ap.add_argument("--corpus", default=None,
                     help="existing corpus parquet dir (default "
@@ -100,7 +106,8 @@ def main() -> int:
         master = f"local-cluster[{n_exec},{c},{args.mem_mb}]"
         shuffle = 2 * n_exec * c
         ckpt = os.path.join(args.work_dir, f"ckpt_{i}_{n_exec}")
-        res = run_leg(master, corpus, ckpt, shuffle)
+        res = run_leg(master, corpus, ckpt, shuffle,
+                      timed_runs=args.timed_runs)
         res["n_executors"] = n_exec
         runs.append(res)
         print(json.dumps(res), flush=True)

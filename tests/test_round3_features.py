@@ -304,3 +304,30 @@ def test_bucketed_checkpoint_join_skips_features_exchange(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in agg_plan
+
+
+def test_materialized_corpus_cache_is_session_scoped(spark):
+    """dup_corpus/_emb_corpus materialize once per (session, sf_dir): the
+    second call returns the SAME checkpointed plan (no re-read), different
+    sf dirs get distinct entries, and rows are unchanged by caching."""
+    from fast_duplicate_finder_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    q._MATERIALIZED.clear()
+    a = q.dup_corpus(spark, sf)
+    b = q.dup_corpus(spark, sf)
+    assert a is b  # cache hit — one materialization per session+dir
+    app = spark.sparkContext.applicationId
+    assert (app, "corpus", sf) in q._MATERIALIZED
+    # content identical to an uncached build (fresh key → fresh build)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    planted = docs.filter(
+        (F.col("doc_id") % 10 == 0)
+        | (F.col("doc_id") % 10 == 1)
+        | (F.col("doc_id") % 10 == 2)
+    ).count()
+    assert a.count() == n_docs + planted
+    e1 = q._emb_corpus(spark, sf)
+    assert (app, "emb", sf) in q._MATERIALIZED
+    assert e1 is q._emb_corpus(spark, sf)
