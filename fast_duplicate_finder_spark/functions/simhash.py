@@ -107,8 +107,13 @@ def simhash_candidate_pairs(
         ),
     )
     w = Window.partitionBy("chunk_id", "chunk_val")
-    sized = keyed.withColumn("bucket_n", F.count("*").over(w)).filter(
-        F.col("bucket_n") >= 2
+    # eager: pairs and overflow are separate actions downstream; without
+    # materialization each re-runs the chunk explode + size window (and
+    # the self-join re-runs it per probe side)
+    sized = (
+        keyed.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") >= 2)
+        .localCheckpoint(eager=True)
     )
     overflow = (
         sized.filter(F.col("bucket_n") > max_bucket)

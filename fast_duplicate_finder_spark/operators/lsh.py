@@ -112,8 +112,16 @@ def _capped_pairs(
     * small buckets: plain self-join (no replication cost).
     """
     w = Window.partitionBy(*key_cols)
-    sized = rows.withColumn("bucket_n", F.count("*").over(w)).filter(
-        F.col("bucket_n") >= 2
+    # Eager: (pairs, overflow) are consumed by SEPARATE actions (two
+    # checkpoint writes in the pipeline), and each action re-plans the
+    # DataFrame — without materialization the explode + bucket-size window
+    # shuffle over EVERY row re-executes per action (and per self-join
+    # side). Only rows in buckets >= 2 survive the filter, so the
+    # materialized set is the interesting minority, not the corpus.
+    sized = (
+        rows.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") >= 2)
+        .localCheckpoint(eager=True)
     )
     overflow = (
         sized.filter(F.col("bucket_n") > cfg.max_band_bucket)

@@ -308,8 +308,13 @@ def span_pairs(
             eager=True
         )  # feeds the bucket-size window plus both sides of the self-join
     w = Window.partitionBy("sg")
-    sized = sgs.withColumn("bucket_n", F.count("*").over(w)).filter(
-        F.col("bucket_n") >= 2
+    # eager: the overflow write is a separate action from the pairs write;
+    # materializing the >= 2 survivors keeps the sg-explode + size window
+    # from re-executing per action / per self-join side
+    sized = (
+        sgs.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") >= 2)
+        .localCheckpoint(eager=True)
     )
     overflow = (
         sized.filter(F.col("bucket_n") > cfg.max_band_bucket)
