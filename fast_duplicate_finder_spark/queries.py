@@ -474,16 +474,23 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
         )
     )
-    rows = c.filter(F.size(ws) >= k).select(
-        "doc_id", F.explode(shingle_strs).alias("s")
-    )
-    md5 = F.md5("s")
-    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
-    sets = (
-        rows.select("doc_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.collect_list("h").alias("shset"))
+
+    def _md5_64(s):
+        # portable 64-bit shingle hash: top 16 hex chars of md5, parsed as
+        # two 32-bit halves (conv returns a decimal STRING; 16 hex chars at
+        # once would overflow the signed-long cast for values >= 2^63)
+        m = F.md5(s)
+        hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    # hash INSIDE the per-doc array (higher-order transform): the round-2
+    # form exploded every shingle string to rows and rebuilt shset with
+    # groupBy(doc_id).collect_list — a full corpus-wide shuffle of shingle
+    # rows that exists nowhere else in the plan. The array never leaves the
+    # doc row, so simhash input is shuffle-free (scan -> project -> kernel).
+    sets = c.filter(F.size(ws) >= k).select(
+        "doc_id", F.transform(shingle_strs, _md5_64).alias("shset")
     )
     sims = sets.select(
         F.col("doc_id").alias("conv_id"), simhash_udf("shset").alias("simhash")
