@@ -453,19 +453,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MINHASH = _oracle_jaccard(0.7)
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fuzz pairs through the REAL operator path (Arrow bit-vote
-    kernel + capped pigeonhole join), made fully oracle-checkable: the
-    shingle hash is md5-derived (identical in Spark and DuckDB) instead of
-    xxhash64, so DuckDB can replicate the 64 bit-votes, the 4x16-bit chunk
-    keys, the bucket cap, and the exact Hamming verification in SQL. The
-    pipeline leg keeps xxhash64 (cheaper); the kernel is hash-agnostic."""
-    from fast_duplicate_finder_spark.functions.simhash import (
-        simhash_candidate_pairs,
-        simhash_udf,
-    )
-
-    c = dup_corpus(spark, sf_dir)
+def portable_shingle_sets(c: DataFrame) -> DataFrame:
+    """(doc_id, shset) with md5-portable 64-bit shingle hashes, computed
+    WITHOUT an exchange: shingling and hashing both happen inside per-doc
+    higher-order transforms, so the plan is scan -> project. (The round-2
+    form exploded every shingle string to rows and rebuilt the set with
+    groupBy(doc_id).collect_list — a corpus-wide shuffle that existed
+    nowhere else in the plan; tests/test_round3_features.py pins the
+    exchange-free shape.)"""
     k = CFG.shingle_k
     ws = F.split(F.col("text"), " ")
     shingle_strs = F.array_distinct(
@@ -484,14 +479,24 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
         return F.shiftleft(hi, 32).bitwiseOR(lo)
 
-    # hash INSIDE the per-doc array (higher-order transform): the round-2
-    # form exploded every shingle string to rows and rebuilt shset with
-    # groupBy(doc_id).collect_list — a full corpus-wide shuffle of shingle
-    # rows that exists nowhere else in the plan. The array never leaves the
-    # doc row, so simhash input is shuffle-free (scan -> project -> kernel).
-    sets = c.filter(F.size(ws) >= k).select(
+    return c.filter(F.size(ws) >= k).select(
         "doc_id", F.transform(shingle_strs, _md5_64).alias("shset")
     )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fuzz pairs through the REAL operator path (Arrow bit-vote
+    kernel + capped pigeonhole join), made fully oracle-checkable: the
+    shingle hash is md5-derived (identical in Spark and DuckDB) instead of
+    xxhash64, so DuckDB can replicate the 64 bit-votes, the 4x16-bit chunk
+    keys, the bucket cap, and the exact Hamming verification in SQL. The
+    pipeline leg keeps xxhash64 (cheaper); the kernel is hash-agnostic."""
+    from fast_duplicate_finder_spark.functions.simhash import (
+        simhash_candidate_pairs,
+        simhash_udf,
+    )
+
+    sets = portable_shingle_sets(dup_corpus(spark, sf_dir))
     sims = sets.select(
         F.col("doc_id").alias("conv_id"), simhash_udf("shset").alias("simhash")
     ).localCheckpoint(eager=True)

@@ -331,3 +331,35 @@ def test_materialized_corpus_cache_is_session_scoped(spark):
     e1 = q._emb_corpus(spark, sf)
     assert (app, "emb", sf) in q._MATERIALIZED
     assert e1 is q._emb_corpus(spark, sf)
+
+
+def test_portable_shingle_sets_is_exchange_free(spark):
+    """The simhash query-leg input (md5-portable per-doc shingle hash
+    sets) must stay scan -> project: shingling AND hashing run inside
+    per-doc higher-order transforms, so no Exchange appears anywhere in
+    the physical plan (the round-2 form shuffled every shingle row
+    through a groupBy(doc_id).collect_list rebuild)."""
+    from fast_duplicate_finder_spark.queries import portable_shingle_sets
+
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    sets = portable_shingle_sets(docs)
+    plan = sets._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # and the hashes are the documented md5-hi64 values
+    import hashlib
+
+    row = sets.filter(F.col("doc_id") == 7).collect()[0]
+    from fast_duplicate_finder_spark.queries import CFG
+    k = CFG.shingle_k
+    words = "alpha beta gamma delta epsilon zeta 7".split(" ")
+    expect = set()
+    for i in range(len(words) - k + 1):
+        s = " ".join(words[i : i + k])
+        h = hashlib.md5(s.encode()).hexdigest()
+        v = (int(h[:8], 16) << 32) | int(h[8:16], 16)
+        expect.add(v - (1 << 64) if v >= 1 << 63 else v)
+    assert set(row["shset"]) == expect
