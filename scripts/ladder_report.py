@@ -66,7 +66,37 @@ def main() -> int:
             f"best-of-N efficiency {small} -> {big} executors: "
             f"{eff:.3f} (gate >= 0.8)"
         )
+        _phase_table(paths, small, big)
     return 0
+
+
+def _phase_table(paths: list[str], small: int, big: int) -> None:
+    """Pooled per-phase best (timed-run) walls at each size + speedup —
+    shows WHERE the scaling comes from and which phases are fixed-cost."""
+    best: dict[int, dict[str, float]] = {small: {}, big: {}}
+    for p in paths:
+        for run in json.load(open(p))["runs"]:
+            n = run["n_executors"]
+            timed = timed_walls(run)
+            details = run.get("runs_detail", [])[-len(timed):]
+            for d in details:
+                for ph, s in d.get("phase_seconds", {}).items():
+                    cur = best[n].get(ph)
+                    best[n][ph] = s if cur is None else min(cur, s)
+    phases = [ph for ph in best[small] if ph in best[big]]
+    if not phases:
+        return
+    print(f"per-phase best timed wall (s), {small} vs {big} executors:")
+    tot_s = tot_b = 0.0
+    for ph in phases:
+        s, b = best[small][ph], best[big][ph]
+        tot_s += s
+        tot_b += b
+        print(f"  {ph:24s} {s:8.2f} {b:8.2f}   {s / max(b, 1e-9):5.2f}x")
+    print(
+        f"  {'(sum of phase best)':24s} {tot_s:8.2f} {tot_b:8.2f}   "
+        f"{tot_s / max(tot_b, 1e-9):5.2f}x"
+    )
 
 
 if __name__ == "__main__":
