@@ -1,0 +1,80 @@
+"""Pure-Python tests for the ladder analysis tools (no Spark).
+
+The scaling gate's evidence chain runs through scripts/ladder_report.py
+(pooling + best-of-N efficiency) — pin its timed-wall recovery so a
+format drift in leg artifacts can't silently mis-pool warm-ups as timed
+runs (which would overstate efficiency in either direction).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import pathlib
+import subprocess
+import sys
+
+_SCRIPTS = pathlib.Path(__file__).resolve().parent.parent / "scripts"
+
+
+def _load(name: str):
+    spec = importlib.util.spec_from_file_location(name, _SCRIPTS / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_timed_walls_drops_warmups():
+    lr = _load("ladder_report")
+    # modern leg: 1 warm-up + 2 timed, wall_sec == min(timed)
+    run = {"all_walls": [700.0, 455.8, 301.2], "wall_sec": 301.2}
+    assert lr.timed_walls(run) == [455.8, 301.2]
+    # round-2-era leg: 1 warm-up + 1 timed
+    run = {"all_walls": [962.2, 125.2], "wall_sec": 125.2}
+    assert lr.timed_walls(run) == [125.2]
+    # degenerate: a single recorded wall is its own timed run
+    run = {"all_walls": [88.8], "wall_sec": 88.8}
+    assert lr.timed_walls(run) == [88.8]
+
+
+def test_report_pools_and_computes_best_of_n_efficiency(tmp_path):
+    art = {
+        "runs": [
+            {
+                "master": "local-cluster[2,4,10240]",
+                "n_executors": 2,
+                "turns": 1000,
+                "wall_sec": 200.0,
+                "all_walls": [300.0, 250.0, 200.0],
+                "runs_detail": [
+                    {"wall_sec": w, "phase_seconds": {"p": w / 2}}
+                    for w in (300.0, 250.0, 200.0)
+                ],
+            },
+            {
+                "master": "local-cluster[8,4,10240]",
+                "n_executors": 8,
+                "turns": 1000,
+                "wall_sec": 60.0,
+                "all_walls": [100.0, 80.0, 60.0],
+                "runs_detail": [
+                    {"wall_sec": w, "phase_seconds": {"p": w / 2}}
+                    for w in (100.0, 80.0, 60.0)
+                ],
+            },
+        ]
+    }
+    p = tmp_path / "ladder.json"
+    p.write_text(json.dumps(art))
+    out = subprocess.run(
+        [sys.executable, str(_SCRIPTS / "ladder_report.py"), str(p)],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    # best-of-N: 200 s vs 60 s -> eff = 200 / (4 * 60) = 0.833
+    assert "efficiency 2 -> 8 executors: 0.833" in out
+    # pooled timed walls (sorted ascending) exclude the 300/100 warm-ups
+    assert "[200.0, 250.0]" in out and "[60.0, 80.0]" in out
+    # per-phase table present with best timed-phase values (100.0 vs 30.0)
+    assert "100.00" in out and "30.00" in out and "3.33x" in out
