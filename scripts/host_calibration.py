@@ -28,39 +28,56 @@ import time
 import numpy as np
 
 WORK_UNITS_TOTAL = 256  # fixed total work, split across P workers
-HASH_BYTES_PER_UNIT = 6_000_000  # md5-stream bytes per unit (CPU-ish)
-MEM_ELEMS_PER_UNIT = 12_000_000  # int64 stream elems per unit (membw-ish)
+HASH_BYTES_PER_UNIT = 900_000_000  # resident-buffer md5 bytes (CPU-ish)
+MEM_ARR_ELEMS = 32_000_000  # per-worker streaming array: 256 MiB int64
+MEM_PASSES_PER_UNIT = 3  # xor/shift reduce passes per unit (membw-ish)
 
 PROFILES = ("mixed", "cpu", "membw")
+
+_ARR = None  # per-worker streaming array, allocated once (not per unit)
+
+
+def _unit_cpu(scale: float) -> int:
+    """md5 over the SAME resident 64 KiB chunk — ALU/L1 only, ~no DRAM."""
+    chunk = b"\xa5" * 65536
+    h = hashlib.md5()
+    for _ in range(int(HASH_BYTES_PER_UNIT * scale) // 65536):
+        h.update(chunk)
+    return h.digest()[0]
+
+
+def _unit_membw(scale: float) -> int:
+    """Streaming xor/shift reduce passes over a 256 MiB resident array —
+    each pass moves ~3x the array through DRAM (temp alloc + read +
+    reduce), so throughput tracks the memory system, not the ALUs."""
+    global _ARR
+    if _ARR is None:
+        _ARR = np.arange(MEM_ARR_ELEMS, dtype=np.int64) * 2654435761
+    acc = 0
+    for _ in range(max(int(MEM_PASSES_PER_UNIT * scale), 1)):
+        acc ^= int(np.bitwise_xor.reduce(_ARR >> 7)) ^ int(
+            np.bitwise_xor.reduce(_ARR << 3)
+        )
+    return acc & 0xFF
 
 
 def _one_unit(seed: int, profile: str) -> int:
     """One work unit in one of three resource profiles:
 
-    * cpu    — md5 over a small resident buffer (ALU/L2, ~no DRAM traffic);
-    * membw  — xor/shift streaming passes over a DRAM-sized int64 array;
-    * mixed  — one of each (the pipeline's heavy phases blend kernel CPU
+    * cpu    — pure compute (ideal-scaling control: ~4x unless vCPUs are
+      stolen by neighbors);
+    * membw  — DRAM-bandwidth-bound (the shared ceiling suspect);
+    * mixed  — half of each (the pipeline's heavy phases blend kernel CPU
       with shuffle/serialization memory traffic).
 
-    Comparing the three 8->32-core speedups tells WHICH host ceiling binds:
-    cpu ~4x but membw ~2x => the host's memory system, not the plan."""
-    rng = np.random.default_rng(seed)
-    out = 0
-    if profile in ("cpu", "mixed"):
-        n = HASH_BYTES_PER_UNIT * (2 if profile == "cpu" else 1)
-        chunk = rng.integers(0, 255, 65536, dtype=np.uint8).tobytes()
-        h = hashlib.md5()
-        for _ in range(n // 65536):
-            h.update(chunk)  # same resident 64 KiB -> pure compute
-        out ^= h.digest()[0]
-    if profile in ("membw", "mixed"):
-        n = MEM_ELEMS_PER_UNIT * (2 if profile == "membw" else 1)
-        arr = rng.integers(0, 2**62, n, dtype=np.int64)
-        acc = np.bitwise_xor.reduce(arr >> 7) ^ np.bitwise_xor.reduce(
-            arr << 3
-        )
-        out ^= int(acc) & 0xFF
-    return out
+    Comparing the three 8->32-core speedups tells WHICH host ceiling
+    binds: cpu ~4x but membw ~2x => the host's memory system, not the
+    plan."""
+    if profile == "cpu":
+        return _unit_cpu(1.0)
+    if profile == "membw":
+        return _unit_membw(1.0)
+    return _unit_cpu(0.5) ^ _unit_membw(0.5)
 
 
 def _worker(args: tuple[int, int, str]) -> int:
