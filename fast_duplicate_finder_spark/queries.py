@@ -423,6 +423,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real MinHash/LSH/verify path (north_star) at config tau=0.7.
     Verified by exact Jaccard, so precision is 1.0; the oracle is the
     brute-force tau-pair set (recall check)."""
+    from fast_duplicate_finder_spark.functions.minhash import make_minhash_udf
     from fast_duplicate_finder_spark.operators.neardup import (
         minhash_pairs,
         shingle_features,
@@ -433,11 +434,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("conv_id"),
         F.col("text").alias("doc"),
     )
-    # shset only: materializing the unused positional `grams` column would
-    # defeat column pruning (localCheckpoint stores every column)
+    # ONE materialization carrying (shset, minhash): signatures are signed
+    # in the same pass that builds the shingle sets, so the banding join
+    # and the exact-Jaccard verify both read this checkpoint (the pipeline
+    # does the same via the p6_features table; the round-2 query leg
+    # checkpointed shset and minhash separately — two back-to-back jobs
+    # over the identical rows). `grams` is dropped before materializing:
+    # the unused positional array would defeat column pruning
+    # (localCheckpoint stores every column).
+    mh = make_minhash_udf(CFG.lsh_perms_used, CFG.minhash_seed)
     features = (
         shingle_features(docs, CFG)
-        .select("conv_id", "shset")
+        .select("conv_id", "shset", mh("shset").alias("minhash"))
         .localCheckpoint(eager=True)
     )
     verified, _ = minhash_pairs(features, CFG)
