@@ -36,13 +36,15 @@ class PipelineConfig:
     jaccard_tau: float = 0.7             # verified near-dup threshold
     minhash_seed: int = 42
 
-    simhash_bits: int = 64
+    # simhash signatures are fixed 64-bit (xxhash64-sourced bit votes);
+    # simhash_hamming + 1 pigeonhole chunks of 64 // (h+1) bits each
     simhash_hamming: int = 3             # max hamming distance for fuzz match
 
-    span_min_tokens: int = 40            # shared-span (suffix-array) pass
-    span_max_group: int = 64             # cap on group size fed to the
-                                         # quadratic span kernel (counter logs
-                                         # overflow, never silent)
+    span_min_tokens: int = 40            # shared-span pass: minimum shared
+                                         # contiguous token run; hot
+                                         # supershingle buckets are capped by
+                                         # max_band_bucket like every other
+                                         # candidate join
 
     # --- skew / partitioning -------------------------------------------------
     band_salt_buckets: int = 8           # salting for hot LSH bands

@@ -29,6 +29,8 @@ Spark-first re-design (SURVEY.md §2.5 W2, §4):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,25 +38,41 @@ from fast_duplicate_finder_spark.config import PipelineConfig
 from fast_duplicate_finder_spark.operators.exact_cascade import having_at_least
 
 
-def _segs(col):
-    return F.split(col, "/")
+def _segs(col, sep: str = "/"):
+    # F.split takes a Java regex; re.escape covers single-char separators
+    return F.split(col, re.escape(sep))
 
 
-def _parent(col):
-    s = _segs(col)
+def _parent(col, sep: str = "/"):
+    s = _segs(col, sep)
     return F.when(
-        F.size(s) > 1, F.array_join(F.slice(s, 1, F.size(s) - 1), "/")
+        F.size(s) > 1, F.array_join(F.slice(s, 1, F.size(s) - 1), sep)
     ).otherwise(F.lit(None))
 
 
-def _name(col):
-    return F.element_at(_segs(col), -1)
+def _name(col, sep: str = "/"):
+    return F.element_at(_segs(col, sep), -1)
 
 
-def _depth(col):
+def _depth(col, sep: str = "/"):
     # depth 0 = top-level folder ("grp0"); a folder path with k segments
     # has depth k-1
-    return F.size(_segs(col)) - 1
+    return F.size(_segs(col, sep)) - 1
+
+
+def _proper_ancestors(col, sep: str = "/"):
+    """Array of every proper ancestor path of ``col`` (empty for a
+    top-level path) — the exploded-ancestor expression shared by nested
+    suppression, file suppression and recursive sizes. sequence(1, 0)
+    would DESCEND in Spark, hence the size > 1 guard."""
+    segs = _segs(col, sep)
+    return F.when(
+        F.size(segs) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(segs) - 1),
+            lambda i: F.array_join(F.slice(segs, F.lit(1), i), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def folder_signatures(conv_hashes: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -65,16 +83,19 @@ def folder_signatures(conv_hashes: DataFrame, cfg: PipelineConfig) -> DataFrame:
     non-duplicate members are what trigger the uniqueness short-circuit.
     Returns (folder, sig) with sig NULL when the folder is not duplicable.
     """
+    sep = cfg.group_sep
     files = conv_hashes.select(
-        _parent(F.col("conv_id")).alias("folder"),
+        _parent(F.col("conv_id"), sep).alias("folder"),
         F.when(
             F.col("is_dup"),
-            F.concat(F.lit("F:"), _name(F.col("conv_id")), F.lit(":"),
+            F.concat(F.lit("F:"), _name(F.col("conv_id"), sep), F.lit(":"),
                      F.col("fhash").cast("string")),
         ).alias("item"),  # null item == unique file == short-circuit
     ).filter(F.col("folder").isNotNull())
 
-    max_depth_row = files.agg(F.max(_depth(F.col("folder")))).collect()[0][0]
+    max_depth_row = files.agg(
+        F.max(_depth(F.col("folder"), sep))
+    ).collect()[0][0]
     if max_depth_row is None:
         return conv_hashes.sparkSession.createDataFrame(
             [], "folder string, sig long"
@@ -83,7 +104,7 @@ def folder_signatures(conv_hashes: DataFrame, cfg: PipelineConfig) -> DataFrame:
     all_sigs: DataFrame | None = None
     child_items: DataFrame | None = None  # (folder, item) from level d+1
     for d in range(int(max_depth_row), -1, -1):
-        items = files.filter(_depth(F.col("folder")) == d)
+        items = files.filter(_depth(F.col("folder"), sep) == d)
         if child_items is not None:
             items = items.union(child_items)
         level_sigs = items.groupBy("folder").agg(
@@ -99,10 +120,10 @@ def folder_signatures(conv_hashes: DataFrame, cfg: PipelineConfig) -> DataFrame:
         all_sigs = level_sigs if all_sigs is None else all_sigs.union(level_sigs)
         # folders at level d become "D:" items of their parents at level d-1
         child_items = level_sigs.select(
-            _parent(F.col("folder")).alias("folder"),
+            _parent(F.col("folder"), sep).alias("folder"),
             F.when(
                 F.col("sig").isNotNull(),
-                F.concat(F.lit("D:"), _name(F.col("folder")), F.lit(":"),
+                F.concat(F.lit("D:"), _name(F.col("folder"), sep), F.lit(":"),
                          F.col("sig").cast("string")),
             ).alias("item"),
         ).filter(F.col("folder").isNotNull())
@@ -116,24 +137,13 @@ def duplicate_folders(sigs: DataFrame) -> DataFrame:
     ).select("folder", "sig", F.col("group_n").alias("cluster_size"))
 
 
-def suppress_nested(dup_folders: DataFrame) -> DataFrame:
+def suppress_nested(dup_folders: DataFrame, sep: str = "/") -> DataFrame:
     """Phase-5 nested suppression via exploded-ancestor equi anti-join:
     keep a duplicate folder iff NO proper ancestor is itself a duplicate
     folder (phase_5.go:125-148 sorted-prefix scan, re-expressed)."""
-    segs = _segs(F.col("folder"))
-    # sequence(1, 0) would DESCEND in Spark -> guard size > 1 so a
-    # top-level folder has no proper ancestors (not itself)
     ancestors = dup_folders.select(
         "folder",
-        F.explode(
-            F.when(
-                F.size(segs) > 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(segs) - 1),
-                    lambda i: F.array_join(F.slice(segs, F.lit(1), i), "/"),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("anc"),
+        F.explode(_proper_ancestors(F.col("folder"), sep)).alias("anc"),
     )
     nested = ancestors.join(
         dup_folders.select(F.col("folder").alias("anc")).distinct(),
@@ -144,22 +154,12 @@ def suppress_nested(dup_folders: DataFrame) -> DataFrame:
 
 
 def suppress_files_in_dup_folders(
-    file_clusters: DataFrame, dup_folders: DataFrame
+    file_clusters: DataFrame, dup_folders: DataFrame, sep: str = "/"
 ) -> DataFrame:
     """Remove file-level duplicates living under any duplicate folder
     (phase_5.go:236-318 Trie filter -> exploded-ancestor anti-join)."""
-    segs = _segs(F.col("conv_id"))
     with_anc = file_clusters.withColumn(
-        "anc",
-        F.explode_outer(
-            F.when(
-                F.size(segs) > 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(segs) - 1),
-                    lambda i: F.array_join(F.slice(segs, F.lit(1), i), "/"),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ),
+        "anc", F.explode_outer(_proper_ancestors(F.col("conv_id"), sep))
     )
     suppressed = with_anc.join(
         dup_folders.select(F.col("folder").alias("anc")).distinct(),
@@ -170,7 +170,7 @@ def suppress_files_in_dup_folders(
 
 
 def folder_recursive_sizes(
-    conv_sizes: DataFrame, folders: DataFrame
+    conv_sizes: DataFrame, folders: DataFrame, sep: str = "/"
 ) -> DataFrame:
     """(folder, size_chars) — recursive content size of each listed folder
     (generate_report.go:13-33's folderSize walk, re-expressed): every conv
@@ -179,18 +179,9 @@ def folder_recursive_sizes(
 
     ``conv_sizes``: (conv_id, size); ``folders``: any frame with a
     ``folder`` column."""
-    segs = _segs(F.col("conv_id"))
     with_anc = conv_sizes.select(
         "size",
-        F.explode(
-            F.when(
-                F.size(segs) > 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(segs) - 1),
-                    lambda i: F.array_join(F.slice(segs, F.lit(1), i), "/"),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("folder"),
+        F.explode(_proper_ancestors(F.col("conv_id"), sep)).alias("folder"),
     )
     return (
         with_anc.join(folders.select("folder").distinct(), "folder")
@@ -217,8 +208,10 @@ def run_group_dedup(
 ) -> dict[str, DataFrame]:
     sigs = folder_signatures(conv_hashes, cfg)
     dups = duplicate_folders(sigs)
-    top = suppress_nested(dups)
-    files_kept = suppress_files_in_dup_folders(file_clusters, dups)
+    top = suppress_nested(dups, cfg.group_sep)
+    files_kept = suppress_files_in_dup_folders(
+        file_clusters, dups, cfg.group_sep
+    )
     return {
         "sigs": sigs,
         "dup_folders": dups,

@@ -157,12 +157,14 @@ def run_pipeline(
         dups = duplicate_folders(sigs)
         top = run_phase(
             "p5_groups",
-            lambda: folder_clusters(suppress_nested(dups)),
+            lambda: folder_clusters(suppress_nested(dups, cfg.group_sep)),
             ["p4_group_sigs"],
         )
         files_kept = run_phase(
             "p5_files_filtered",
-            lambda: suppress_files_in_dup_folders(p3, dups),
+            lambda: suppress_files_in_dup_folders(
+                p3, dups, cfg.group_sep
+            ),
             ["p3_exact", "p4_group_sigs"],
         )
     else:

@@ -86,3 +86,50 @@ def test_grouped_corpus_planted_expectations(spark):
     assert any(c.startswith("grp4/") for c in kept)
     assert any(c.startswith("grp5/") for c in kept)
     assert not any(c.startswith("grp0/") or c.startswith("grp2/") for c in kept)
+
+
+def test_group_sep_is_config_not_hardcoded(spark):
+    """The same hierarchy expressed with a ':' separator must produce the
+    same folder clusters when cfg.group_sep says so (the module docstring
+    promises 'the separator is config')."""
+    import datetime as dt
+
+    from fast_duplicate_finder_spark.operators.group_dedup import (
+        folder_recursive_sizes,
+    )
+
+    ts = dt.datetime(2020, 1, 1)
+    mk = lambda cid, text: (cid, 0, "user", text, "", ts)
+    rows = [
+        mk("A:c0", "alpha"), mk("A:c1", "beta"),
+        mk("B:c0", "alpha"), mk("B:c1", "beta"),
+        mk("N1:s:a", "n-one"), mk("N1:s:b", "n-two"),
+        mk("N2:s:a", "n-one"), mk("N2:s:b", "n-two"),
+        mk("solo", "alpha"),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    cfg = PipelineConfig(group_sep=":")
+    docs = assemble_conversations(df)
+    hashed = docs.select("conv_id", F.xxhash64("doc").alias("fhash"))
+    clusters = run_exact_cascade(df, cfg)["clusters"]
+    dup_ids = clusters.select("conv_id").distinct()
+    conv_hashes = hashed.join(
+        dup_ids.withColumn("is_dup", F.lit(True)), "conv_id", "left"
+    ).fillna({"is_dup": False})
+    res = run_group_dedup(conv_hashes, clusters, cfg)
+
+    dup_folders = {r["folder"] for r in res["dup_folders"].collect()}
+    assert dup_folders == {"A", "B", "N1", "N2", "N1:s", "N2:s"}
+    top = {r["folder"] for r in res["top_folders"].collect()}
+    assert top == {"A", "B", "N1", "N2"}
+
+    # recursive sizes honor the separator too
+    sizes = docs.select("conv_id", F.length("doc").alias("size"))
+    got = {
+        r["folder"]: r["size_chars"]
+        for r in folder_recursive_sizes(
+            sizes, res["top_folders"], sep=":"
+        ).collect()
+    }
+    assert got["A"] == len("alpha") + len("beta")
+    assert got["N1"] == len("n-one") + len("n-two")
