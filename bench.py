@@ -92,16 +92,24 @@ def run_headline() -> None:
     # best-of-2 per query (two full passes over the suite): identical
     # back-to-back suites on this shared host were measured 67.7 s vs
     # 42.8 s — min-per-query estimates the plan's capability, not the
-    # noisy neighbor's. Both passes run the same code; rows are checked
-    # identical across passes.
+    # noisy neighbor's. Row counts are asserted identical across passes.
     per_query: dict[str, float] = {}
+    rows_seen: dict[str, int] = {}
     for pass_i in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
             n = QUERIES[name](spark, SF_DIR).count()
             dt = time.perf_counter() - t0
             prev = per_query.get(name)
-            per_query[name] = round(min(dt, prev) if prev else dt, 3)
+            per_query[name] = round(
+                dt if prev is None else min(dt, prev), 3
+            )
+            if name in rows_seen and rows_seen[name] != n:
+                raise AssertionError(
+                    f"{name}: non-deterministic rows across passes "
+                    f"({rows_seen[name]} vs {n})"
+                )
+            rows_seen[name] = n
             print(
                 f"# pass{pass_i} {name}: {dt:.2f}s ({n} rows)",
                 file=sys.stderr,
@@ -249,6 +257,14 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         import subprocess
 
+        extra = [a for a in sys.argv[1:] if a != "--scaling"]
+        # honor the documented corpus-size knob (otherwise the ladder's
+        # own 800k-conv default silently replaces a requested small run)
+        if (
+            "SPARK_GRAFT_SCALE_CONVS" in os.environ
+            and "--n-convs" not in extra
+        ):
+            extra += ["--n-convs", os.environ["SPARK_GRAFT_SCALE_CONVS"]]
         sys.exit(
             subprocess.call(
                 [
@@ -259,7 +275,7 @@ if __name__ == "__main__":
                         "scaling_ladder.py",
                     ),
                 ]
-                + [a for a in sys.argv[1:] if a != "--scaling"]
+                + extra
             )
         )
     else:

@@ -121,7 +121,13 @@ def near_dup_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """
     mh = make_minhash_udf(cfg.lsh_perms_used, cfg.minhash_seed)
     window = max(cfg.span_min_tokens - cfg.shingle_k + 1, 1)
-    feats = shingle_features(docs, cfg)
+    # materialize ONCE: feats feeds two subtrees of the final join (the
+    # feature columns directly, and the supershingle window through `g`) —
+    # without this the whole shingle pass (scan -> conv_id exchange ->
+    # lead window -> agg) executes twice inside the one p6 job. The
+    # checkpoint keeps the conv_id hash-partitioning, so the window +
+    # collect_set and the rejoin below stay exchange-free.
+    feats = shingle_features(docs, cfg).localCheckpoint(eager=True)
     g = feats.select("conv_id", F.posexplode("grams").alias("pos", "gh"))
     w_frame = (
         Window.partitionBy("conv_id").orderBy("pos")

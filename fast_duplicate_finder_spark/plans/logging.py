@@ -82,7 +82,9 @@ class RingLogger:
         GetRecentEntries (logger.go:190-225); always a copy."""
         with self._lock:
             entries = list(self._entries)
-        return entries if n is None or n >= len(entries) else entries[-n:]
+        if n is None or n >= len(entries):
+            return entries
+        return entries[-n:] if n > 0 else []
 
     def get_logs_json(self, n: int | None = None) -> str:
         """GetEntriesJSON / GetLogsC analogue (c_bindings.go:65-68)."""

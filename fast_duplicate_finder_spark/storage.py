@@ -153,6 +153,16 @@ class CheckpointStore:
         joins express the same contract.)"""
         path = self._dir(phase)
         data_path = os.path.join(path, "data")
+        # invalidate BEFORE mutating: a stale complete manifest + a crash
+        # anywhere in the drop/rmtree/overwrite window below would let a
+        # later resume() read a missing or partially-written table as
+        # valid (the bucketed read returns 0 rows silently). With the
+        # manifest gone first, a mid-write crash makes exists() False and
+        # the phase recomputes.
+        try:
+            os.remove(self._manifest_path(phase))
+        except FileNotFoundError:
+            pass
         if self.table_format == "iceberg" and not iceberg_available(
             self.spark
         ):

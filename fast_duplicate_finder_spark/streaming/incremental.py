@@ -60,6 +60,36 @@ def stream_transcripts(
 
 N_STATE_PREFIXES = 64  # hash-prefix partitions of the state table
 
+LEGACY_EPOCH = -1  # reserved epoch for state migrated from the old layout
+
+
+def _migrate_legacy_state(spark: SparkSession, state_data: str) -> None:
+    """One-time upgrade of a pre-(epoch_id, hp) state table.
+
+    The old layout was a plain unpartitioned append of
+    (fhash, conv_id, size); the per-batch reader requires the ``hp``
+    partition column and would raise UNRESOLVED_COLUMN forever on an
+    upgraded stream (losing the seen-hash history if the operator's only
+    recourse is deleting the dir). Rewrite once into the partitioned
+    layout under reserved epoch -1 — which every batch reads (it only
+    excludes its OWN epoch)."""
+    import shutil
+
+    legacy = spark.read.parquet(state_data)
+    if "hp" in legacy.columns:
+        return
+    migrated = legacy.withColumn(
+        "hp", F.pmod(F.col("fhash"), F.lit(N_STATE_PREFIXES)).cast("int")
+    )
+    if "epoch_id" not in migrated.columns:
+        migrated = migrated.withColumn("epoch_id", F.lit(LEGACY_EPOCH))
+    tmp = state_data + ".migrate"
+    migrated.write.mode("overwrite").partitionBy("epoch_id", "hp").parquet(
+        tmp
+    )
+    shutil.rmtree(state_data)
+    os.replace(tmp, state_data)
+
 
 def _dedup_batch(
     batch: DataFrame, epoch_id: int, state_dir: str, dups_dir: str
@@ -142,6 +172,9 @@ def run_incremental_dedup(
     ckpt = os.path.join(work_dir, "_stream_checkpoint")
     os.makedirs(state_dir, exist_ok=True)
     os.makedirs(dups_dir, exist_ok=True)
+    state_data = os.path.join(state_dir, "data")
+    if os.path.exists(state_data):
+        _migrate_legacy_state(spark, state_data)
     stream = stream_transcripts(spark, input_path, max_files_per_trigger)
     writer = (
         stream.writeStream.foreachBatch(

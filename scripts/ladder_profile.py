@@ -15,10 +15,20 @@ import sys
 
 
 def best_run(runs: list[dict], n: int) -> dict:
-    """Fastest timed run for executor count ``n`` (its runs_detail[-1])."""
-    cand = [r for r in runs if r["n_executors"] == n]
-    leg = min(cand, key=lambda r: r["wall_sec"])
-    return leg["runs_detail"][-1]
+    """Fastest timed run for executor count ``n`` — min over every leg's
+    timed (post-warm-up) runs_detail (NOT the chronologically last run of
+    the best leg: on a host that drifts 2-3x that could profile the slow
+    run). runs_detail includes the warm-up run(s); a leg's timed tail is
+    the last ``len(all_walls) - warmups`` entries, and wall_sec is the min
+    of that tail (same recovery as ladder_report.timed_walls)."""
+    details = []
+    for r in runs:
+        if r["n_executors"] != n:
+            continue
+        d = r.get("runs_detail", [])
+        n_timed = max(len(r.get("all_walls", d)) - 1, 1)
+        details += d[-n_timed:]
+    return min(details, key=lambda d: d["wall_sec"])
 
 
 def main() -> int:

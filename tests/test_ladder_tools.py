@@ -78,3 +78,33 @@ def test_report_pools_and_computes_best_of_n_efficiency(tmp_path):
     assert "[200.0, 250.0]" in out and "[60.0, 80.0]" in out
     # per-phase table present with best timed-phase values (100.0 vs 30.0)
     assert "100.00" in out and "30.00" in out and "3.33x" in out
+
+
+def test_ladder_profile_best_run_excludes_warmup_and_picks_min():
+    lp = _load("ladder_profile")
+    runs = [
+        {
+            "n_executors": 2,
+            "all_walls": [900.0, 300.0, 200.0],
+            "wall_sec": 200.0,
+            "runs_detail": [
+                {"wall_sec": 900.0, "phase_seconds": {"p": 9.0}},  # warm-up
+                {"wall_sec": 300.0, "phase_seconds": {"p": 3.0}},
+                {"wall_sec": 200.0, "phase_seconds": {"p": 2.0}},
+            ],
+        },
+        {
+            "n_executors": 2,
+            "all_walls": [150.0, 400.0, 500.0],  # warm-up happened fastest
+            "wall_sec": 400.0,
+            "runs_detail": [
+                {"wall_sec": 150.0, "phase_seconds": {"p": 1.5}},  # warm-up
+                {"wall_sec": 400.0, "phase_seconds": {"p": 4.0}},
+                {"wall_sec": 500.0, "phase_seconds": {"p": 5.0}},
+            ],
+        },
+    ]
+    best = lp.best_run(runs, 2)
+    # NOT the chronologically-last (500.0), NOT the warm-up (150.0):
+    # the fastest TIMED run across legs
+    assert best["wall_sec"] == 200.0

@@ -363,3 +363,37 @@ def test_portable_shingle_sets_is_exchange_free(spark):
         v = (int(h[:8], 16) << 32) | int(h[8:16], 16)
         expect.add(v - (1 << 64) if v >= 1 << 63 else v)
     assert set(row["shset"]) == expect
+
+
+def test_ring_logger_get_logs_zero_returns_empty():
+    log = RingLogger(capacity=5)
+    for i in range(3):
+        log.info(f"m{i}")
+    assert log.get_logs(0) == []
+    assert len(log.get_logs(2)) == 2
+    assert len(log.get_logs()) == 3
+
+
+def test_failed_checkpoint_write_invalidates_stale_manifest(spark, tmp_path):
+    """A crash inside write() (after the old data is dropped, before the
+    new manifest lands) must leave exists() False — a stale complete
+    manifest over missing/partial data would make resume() silently read
+    an empty table."""
+    from pyspark.sql import functions as F
+
+    ckpt = CheckpointStore(spark, str(tmp_path / "ck"), "fp")
+    df = spark.range(10).select(F.col("id").alias("conv_id"))
+    ckpt.write(df, "p_test")
+    assert ckpt.exists("p_test")
+
+    @F.udf("long")
+    def boom(x):
+        raise ValueError("simulated mid-write crash")
+
+    bad = spark.range(4).select(boom(F.col("id")).alias("conv_id"))
+    try:
+        ckpt.write(bad, "p_test")
+        raise AssertionError("write of exploding plan should fail")
+    except Exception:
+        pass
+    assert not ckpt.exists("p_test")  # stale manifest must be gone

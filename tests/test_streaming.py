@@ -186,3 +186,49 @@ def test_state_partitioned_by_prefix_and_replay_idempotent(spark, tmp_path):
         r["hp"] for r in spark.read.parquet(state_path).select("hp").collect()
     }
     assert hps <= set(range(N_STATE_PREFIXES))
+
+
+def test_legacy_unpartitioned_state_is_migrated(spark, tmp_path):
+    """A state table written by the pre-(epoch_id, hp) layout (plain
+    unpartitioned append, no hp column) must be upgraded in place at
+    stream start — not wedge every micro-batch with UNRESOLVED_COLUMN,
+    and not lose the seen-hash history."""
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        LEGACY_EPOCH,
+        _dedup_batch,
+        _migrate_legacy_state,
+    )
+    from fast_duplicate_finder_spark.sources.transcripts import (
+        assemble_conversations,
+    )
+
+    t = generate_transcripts(spark, n_convs=30, seed=5)
+    docs = assemble_conversations(t)
+    legacy = docs.select(
+        "conv_id", F.xxhash64("doc").alias("fhash"), "size"
+    )
+    state_data = str(tmp_path / "state" / "data")
+    legacy.write.parquet(state_data)  # old layout: no hp, no epoch_id
+
+    _migrate_legacy_state(spark, state_data)
+    migrated = spark.read.parquet(state_data)
+    assert "hp" in migrated.columns and "epoch_id" in migrated.columns
+    assert migrated.filter(F.col("epoch_id") != LEGACY_EPOCH).count() == 0
+    assert migrated.count() == legacy.count()
+    assert any(
+        d.startswith("epoch_id=") for d in os.listdir(state_data)
+    )
+
+    # a new batch replaying one legacy conversation sees it as a DUP
+    replay = t.filter(
+        F.col("conv_id") == t.select("conv_id").first()["conv_id"]
+    )
+    _dedup_batch(
+        replay, 7, str(tmp_path / "state"), str(tmp_path / "dups")
+    )
+    dups = spark.read.parquet(str(tmp_path / "dups" / "data"))
+    assert dups.count() == 1  # matched against migrated legacy state
+
+    # idempotent: migrating again is a no-op
+    _migrate_legacy_state(spark, state_data)
+    assert spark.read.parquet(state_data).count() == legacy.count()
