@@ -124,3 +124,26 @@ def test_span_pass_detects_long_shared_span(spark):
     }
     assert ("a", "b") in sp
     assert ("c", "d") not in sp
+
+
+def test_supershingle_set_short_docs_empty(spark):
+    """sequence(0, size - window) DESCENDS when size < window — the guard
+    must yield an empty set, not inverted-index supershingles."""
+    from pyspark.sql import functions as F
+
+    from fast_duplicate_finder_spark.operators.neardup import (
+        _supershingle_set,
+    )
+
+    df = spark.createDataFrame(
+        [(1, list(range(5))), (2, list(range(8))), (3, []), (4, list(range(9)))],
+        "conv_id int, grams array<bigint>",
+    )
+    out = {
+        r["conv_id"]: r["n"]
+        for r in df.select(
+            "conv_id", F.size(_supershingle_set(F.col("grams"), 8)).alias("n")
+        ).collect()
+    }
+    # size < window -> 0; size == window -> 1; size == window+1 -> 2
+    assert out == {1: 0, 2: 1, 3: 0, 4: 2}
