@@ -81,65 +81,51 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_candidate_pairs(
     sims: DataFrame, max_hamming: int, id_col: str = "conv_id",
-    sim_col: str = "simhash", max_bucket: int = 2000,
+    sim_col: str = "simhash", max_bucket: int = 2000, n_salt: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Pairs within ``max_hamming`` bits — pigeonhole equi-join + exact
     popcount verification.
 
-    Skew control (same pattern as operators/lsh.candidate_pairs): a hot
-    (chunk_id, chunk_val) bucket — skewed bit patterns over 16-bit chunks
-    are common in boilerplate-heavy corpora — would otherwise emit
-    quadratically many join rows. Buckets above ``max_bucket`` are excluded
-    from pair generation and COUNTED, never silently dropped.
+    Skew control is the SAME generator as every other leg
+    (operators/lsh.capped_pairs): buckets over ``max_bucket`` excluded +
+    COUNTED, hot-yet-under-cap buckets split across ``n_salt`` tasks via
+    two-level salted pair generation — skewed bit patterns over 16-bit
+    chunks are common in boilerplate-heavy corpora, and the previous
+    plain self-join put a 1,999-member chunk bucket (~2M join rows) on
+    one reducer. Signature values for the popcount verify are attached
+    to the (few) distinct candidate pairs by two narrow joins, the
+    verify_jaccard pattern.
 
     Returns ``(pairs, overflow)``:
     * pairs: (conv_id_a, conv_id_b, hamming), a < b, distinct;
     * overflow: (chunk_id, chunk_val, bucket_n) for capped buckets.
     """
-    from pyspark.sql import Window
+    from fast_duplicate_finder_spark.operators.lsh import capped_pairs
 
     n_chunks = max_hamming + 1
     keyed = sims.select(
-        F.col(id_col),
-        F.col(sim_col),
+        F.col(id_col).alias("conv_id"),
         F.posexplode(simhash_chunks(F.col(sim_col), n_chunks)).alias(
             "chunk_id", "chunk_val"
         ),
     )
-    w = Window.partitionBy("chunk_id", "chunk_val")
-    # eager: pairs and overflow are separate actions downstream; without
-    # materialization each re-runs the chunk explode + size window (and
-    # the self-join re-runs it per probe side)
-    sized = (
-        keyed.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") >= 2)
-        .localCheckpoint(eager=True)
+    cand, overflow = capped_pairs(
+        keyed, ["chunk_id", "chunk_val"], max_bucket, n_salt
     )
-    overflow = (
-        sized.filter(F.col("bucket_n") > max_bucket)
-        .groupBy("chunk_id", "chunk_val")
-        .agg(F.first("bucket_n").alias("bucket_n"))
+    sa = sims.select(
+        F.col(id_col).alias("conv_id_a"), F.col(sim_col).alias("_sim_a")
     )
-    ok = sized.filter(F.col("bucket_n") <= max_bucket).select(
-        id_col, sim_col, "chunk_id", "chunk_val"
+    sb = sims.select(
+        F.col(id_col).alias("conv_id_b"), F.col(sim_col).alias("_sim_b")
     )
-    a = ok.alias("a")
-    b = ok.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        cand.join(sa, "conv_id_a")
+        .join(sb, "conv_id_b")
         .select(
-            F.col(f"a.{id_col}").alias("conv_id_a"),
-            F.col(f"b.{id_col}").alias("conv_id_b"),
-            hamming64(F.col(f"a.{sim_col}"), F.col(f"b.{sim_col}")).alias(
-                "hamming"
-            ),
+            "conv_id_a",
+            "conv_id_b",
+            hamming64(F.col("_sim_a"), F.col("_sim_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
     return pairs, overflow

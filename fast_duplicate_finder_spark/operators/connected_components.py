@@ -7,9 +7,10 @@ DataFrame ops (hash-to-min label propagation; cf. BTS, ICDE 2024 in
 PAPERS.md, and the classic large-star/small-star family).
 
 Scale notes:
-* each iteration = one join + one agg (2 shuffles); convergence is
-  O(cluster diameter) iterations — near-dup clusters are shallow (most
-  pairs share a hub), so <10 iterations in practice;
+* each iteration = neighbor-min (join + agg) plus one pointer-jumping
+  self-join (label -> label(label)); compression halves label chains so
+  convergence is O(log diameter) iterations — and non-convergence at
+  max_iter RAISES instead of silently splitting a component;
 * ``localCheckpoint`` truncates lineage per iteration, otherwise the plan
   grows exponentially and the driver OOMs long before the data does;
 * labels are the *min conv_id string* so the final cluster id convention
@@ -52,25 +53,50 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    n_changed = -1
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.b == labels.conv_id, "inner")
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
+        stepped = labels.join(nbr, labels.conv_id == nbr.a, "left").select(
+            "conv_id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("label"),
+            (F.col("nbr_min") < F.col("label")).alias("changed"),
+        )
+        # pointer jumping: follow label -> label(label) once per round
+        # (every label IS a node id, so the self-join always matches).
+        # Neighbor-min alone moves a component's minimum ONE hop per
+        # round — O(diameter) rounds, and a >max_iter-diameter chain
+        # (sliding boilerplate at corpus scale) would silently split.
+        # Compression makes label chains halve: O(log diameter) rounds.
+        parent = stepped.select(
+            F.col("conv_id").alias("p"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(nbr, labels.conv_id == nbr.a, "left")
+            stepped.join(parent, stepped.label == parent.p, "inner")
             .select(
                 "conv_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_min") < F.col("label")).alias("changed"),
+                F.least("label", "plabel").alias("label"),
+                (F.col("changed") | (F.col("plabel") < F.col("label"))).alias(
+                    "changed"
+                ),
             )
-        ).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
+        )
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({n_changed} labels still changing) — returning "
+            "would silently report one component as several; raise "
+            "max_iter"
+        )
 
     return labels.select("conv_id", F.col("label").alias("component"))

@@ -138,9 +138,24 @@ def duplicate_folders(sigs: DataFrame) -> DataFrame:
 
 
 def suppress_nested(dup_folders: DataFrame, sep: str = "/") -> DataFrame:
-    """Phase-5 nested suppression via exploded-ancestor equi anti-join:
-    keep a duplicate folder iff NO proper ancestor is itself a duplicate
-    folder (phase_5.go:125-148 sorted-prefix scan, re-expressed)."""
+    """Phase-5 nested suppression at GROUP granularity: a signature group
+    survives iff at least one member is top-level (no proper ancestor is
+    itself a duplicate folder), and a surviving group keeps ALL its
+    members — including nested ones.
+
+    This mirrors the reference exactly: identifyTopLevelPaths marks
+    per-path top-level status (phase_5.go:125-148 sorted-prefix scan, our
+    exploded-ancestor equi anti-join), then buildFilteredFolderMap keeps
+    the ORIGINAL full group for every signature that has a top-level
+    member (phase_5.go:155-183 ``LoadOrStore(sig, originalFolderDups
+    [sig])``). A per-folder filter would silently shrink partially-nested
+    groups (e.g. standalone folder z duplicating x's subfolder x/c: the
+    reference reports {x/c, z} whole) and leave cluster_size
+    inconsistent with the surviving membership.
+
+    ("nested under any dup folder" == "nested under some top-level dup
+    folder": the topmost duplicate ancestor of a nested path is itself
+    top-level, so the two formulations mark identical path sets.)"""
     ancestors = dup_folders.select(
         "folder",
         F.explode(_proper_ancestors(F.col("folder"), sep)).alias("anc"),
@@ -150,7 +165,9 @@ def suppress_nested(dup_folders: DataFrame, sep: str = "/") -> DataFrame:
         "anc",
         "left_semi",
     ).select("folder").distinct()
-    return dup_folders.join(nested, "folder", "left_anti")
+    top_members = dup_folders.join(nested, "folder", "left_anti")
+    surviving_sigs = top_members.select("sig").distinct()
+    return dup_folders.join(surviving_sigs, "sig", "left_semi")
 
 
 def suppress_files_in_dup_folders(

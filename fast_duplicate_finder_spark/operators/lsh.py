@@ -98,18 +98,30 @@ def two_level_pairs(
     )
 
 
-def _capped_pairs(
-    rows: DataFrame, key_cols: list[str], cfg: PipelineConfig
+def capped_pairs(
+    rows: DataFrame,
+    key_cols: list[str],
+    max_bucket: int,
+    n_salt: int = 1,
+    dedupe: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared capped + salted self-join: (conv_id, key...) rows ->
-    ((conv_id_a, conv_id_b) distinct pairs, overflow metrics).
+    ((conv_id_a, conv_id_b) pairs, overflow metrics). The ONE pair
+    generator behind every candidate leg (LSH bands, winnow fingerprints,
+    simhash pigeonhole chunks, span supershingles), so the skew controls
+    are uniform:
 
-    * buckets > ``cfg.max_band_bucket``: excluded + COUNTED (overflow);
-    * buckets above the hot threshold (``max_band_bucket //
-      band_salt_buckets``): two-level salted pair generation — a
-      hot-yet-under-cap bucket (1,999 members ~= 2M pairs) splits across
-      ``band_salt_buckets`` tasks instead of landing on one reducer;
+    * buckets > ``max_bucket``: excluded + COUNTED (overflow);
+    * buckets above the hot threshold (``max_bucket // n_salt``):
+      two-level salted pair generation — a hot-yet-under-cap bucket
+      (1,999 members ~= 2M pairs) splits across ``n_salt`` tasks instead
+      of landing on one reducer;
     * small buckets: plain self-join (no replication cost).
+
+    ``dedupe=False`` keeps one output row per shared key occurrence
+    (each occurrence emitted exactly once — the two_level invariant), so
+    a caller can ``groupBy(pair).count()`` shared keys (the span leg's
+    span_tokens).
     """
     w = Window.partitionBy(*key_cols)
     # Eager: (pairs, overflow) are consumed by SEPARATE actions (two
@@ -124,18 +136,16 @@ def _capped_pairs(
         .localCheckpoint(eager=True)
     )
     overflow = (
-        sized.filter(F.col("bucket_n") > cfg.max_band_bucket)
+        sized.filter(F.col("bucket_n") > max_bucket)
         .groupBy(*key_cols)
         .agg(F.first("bucket_n").alias("bucket_n"))
     )
-    ok = sized.filter(F.col("bucket_n") <= cfg.max_band_bucket).select(
+    ok = sized.filter(F.col("bucket_n") <= max_bucket).select(
         "conv_id", *key_cols, "bucket_n"
     )
-    n_salt = max(int(cfg.band_salt_buckets), 1)
+    n_salt = max(int(n_salt), 1)
     hot_threshold = (
-        max(cfg.max_band_bucket // n_salt, 2)
-        if n_salt > 1
-        else cfg.max_band_bucket
+        max(max_bucket // n_salt, 2) if n_salt > 1 else max_bucket
     )
     cold = ok.filter(F.col("bucket_n") <= hot_threshold)
     a = cold.alias("a")
@@ -151,7 +161,7 @@ def _capped_pairs(
     if n_salt > 1:
         hot = ok.filter(F.col("bucket_n") > hot_threshold)
         pairs = cold_pairs.union(two_level_pairs(hot, key_cols, n_salt))
-    return pairs.distinct(), overflow
+    return (pairs.distinct() if dedupe else pairs), overflow
 
 
 def candidate_pairs(
@@ -162,7 +172,12 @@ def candidate_pairs(
     pairs: (conv_id_a, conv_id_b) distinct, a < b.
     overflow_metrics: (band_id, band_hash, bucket_n) for capped buckets.
     """
-    return _capped_pairs(band_rows, ["band_id", "band_hash"], cfg)
+    return capped_pairs(
+        band_rows,
+        ["band_id", "band_hash"],
+        cfg.max_band_bucket,
+        cfg.band_salt_buckets,
+    )
 
 
 def fingerprint_candidate_pairs(
@@ -170,4 +185,6 @@ def fingerprint_candidate_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """Same capped + salted self-join pattern over winnowing fingerprints
     (shared-span pass): fp_rows = (conv_id, fp)."""
-    return _capped_pairs(fp_rows, [key], cfg)
+    return capped_pairs(
+        fp_rows, [key], cfg.max_band_bucket, cfg.band_salt_buckets
+    )

@@ -192,7 +192,10 @@ def simhash_pairs(
             .localCheckpoint(eager=True)
         )
     return simhash_candidate_pairs(
-        sims, cfg.simhash_hamming, max_bucket=cfg.max_band_bucket
+        sims,
+        cfg.simhash_hamming,
+        max_bucket=cfg.max_band_bucket,
+        n_salt=cfg.band_salt_buckets,
     )
 
 
@@ -302,6 +305,8 @@ def span_pairs(
     entirely — the round-2 plan re-serialized the full positional gram
     arrays through a fresh exchange per run, the span leg's largest stage.
     """
+    from fast_duplicate_finder_spark.operators.lsh import capped_pairs
+
     window = max(cfg.span_min_tokens - cfg.shingle_k + 1, 1)
     if "sgs" in features.columns:
         # recompute = checkpoint re-read + explode: cheap on both probe sides
@@ -310,40 +315,21 @@ def span_pairs(
         sgs = supershingle_rows(features, window).localCheckpoint(
             eager=True
         )  # feeds the bucket-size window plus both sides of the self-join
-    w = Window.partitionBy("sg")
-    # eager: the overflow write is a separate action from the pairs write;
-    # materializing the >= 2 survivors keeps the sg-explode + size window
-    # from re-executing per action / per self-join side
-    sized = (
-        sgs.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") >= 2)
-        .localCheckpoint(eager=True)
+    # the shared capped + salted generator (one row per shared
+    # supershingle, dedupe=False — each occurrence emitted exactly once,
+    # so the count IS the shared-sg count); previously a plain self-join
+    # put a hot-yet-under-cap sg bucket on a single reducer
+    matches, overflow = capped_pairs(
+        sgs,
+        ["sg"],
+        cfg.max_band_bucket,
+        cfg.band_salt_buckets,
+        dedupe=False,
     )
-    overflow = (
-        sized.filter(F.col("bucket_n") > cfg.max_band_bucket)
-        .groupBy("sg")
-        .agg(F.first("bucket_n").alias("bucket_n"))
-    )
-    ok = sized.filter(F.col("bucket_n") <= cfg.max_band_bucket).select(
-        "conv_id", "sg"
-    )
-    a = ok.alias("a")
-    b = ok.alias("b")
-    verified = (
-        a.join(
-            b,
-            (F.col("a.sg") == F.col("b.sg"))
-            & (F.col("a.conv_id") < F.col("b.conv_id")),
-        )
-        .groupBy(
-            F.col("a.conv_id").alias("conv_id_a"),
-            F.col("b.conv_id").alias("conv_id_b"),
-        )
-        .agg(
-            (F.count("*") + window + cfg.shingle_k - 2)
-            .cast("int")
-            .alias("span_tokens")
-        )
+    verified = matches.groupBy("conv_id_a", "conv_id_b").agg(
+        (F.count("*") + window + cfg.shingle_k - 2)
+        .cast("int")
+        .alias("span_tokens")
     )
     return verified, overflow
 

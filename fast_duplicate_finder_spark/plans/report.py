@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fast_duplicate_finder_spark.functions.hashing import hash_hex
@@ -75,10 +75,8 @@ def summarize(
 def file_sets_report(exact_clusters: DataFrame, max_sets: int = 1000) -> DataFrame:
     """Deterministically sorted duplicate sets with member lists — member
     lists are ONLY collected here, at the small report edge (SURVEY.md §1.2)."""
-    w = Window.partitionBy("cluster_id")
     return (
-        exact_clusters.withColumn("set_size", F.count("*").over(w))
-        .groupBy("cluster_id")
+        exact_clusters.groupBy("cluster_id")
         .agg(
             hash_hex(F.first("fhash")).alias("hash12"),
             F.first("size").alias("size_chars"),

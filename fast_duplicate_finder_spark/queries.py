@@ -509,7 +509,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("conv_id"), simhash_udf("shset").alias("simhash")
     ).localCheckpoint(eager=True)
     pairs, _ = simhash_candidate_pairs(
-        sims, CFG.simhash_hamming, max_bucket=CFG.max_band_bucket
+        sims,
+        CFG.simhash_hamming,
+        max_bucket=CFG.max_band_bucket,
+        n_salt=CFG.band_salt_buckets,
     )
     return pairs.select(
         F.col("conv_id_a").alias("doc_id_a"),
@@ -926,20 +929,7 @@ GROUP BY l_returnflag, l_linestatus"""
 # Embedding similarity (ANN / near-dup over vectors)
 # ---------------------------------------------------------------------------
 
-def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda v: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (norm(a) * norm(b))
+from fast_duplicate_finder_spark.functions.vectors import cosine as _cosine  # noqa: E402
 
 
 def q_embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -187,9 +187,26 @@ def run_incremental_dedup(
     return writer.start()
 
 
+DUP_LOG_SCHEMA = (
+    "conv_id string, fhash bigint, size int, first_conv_id string, "
+    "epoch_id bigint"
+)
+
+
 def read_dup_log(spark: SparkSession, work_dir: str) -> DataFrame:
-    """(conv_id, fhash, first_conv_id, epoch_id) of every duplicate seen."""
-    return spark.read.parquet(os.path.join(work_dir, "dups", "data"))
+    """(conv_id, fhash, size, first_conv_id, epoch_id) of every duplicate
+    seen. A duplicate-free stream writes only _SUCCESS markers (no part
+    files, so no inferable schema) and before the first batch the dir
+    does not exist — both mean an EMPTY log, not an error."""
+    path = os.path.join(work_dir, "dups", "data")
+    has_parts = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    if not has_parts:
+        return spark.createDataFrame([], DUP_LOG_SCHEMA)
+    return spark.read.parquet(path)
 
 
 def sessionize(

@@ -133,3 +133,41 @@ def test_group_sep_is_config_not_hardcoded(spark):
     }
     assert got["A"] == len("alpha") + len("beta")
     assert got["N1"] == len("n-one") + len("n-two")
+
+
+def test_partially_nested_group_survives_whole(spark):
+    """Reference parity (phase_5.go:155-183 buildFilteredFolderMap): a
+    signature group with at least one top-level member keeps ALL its
+    members — including nested ones. x/s and y/s are nested under dup
+    folders x and y, but standalone w shares their signature, so the
+    whole group {x/s, y/s, w} must be reported (a per-folder filter
+    would shrink it to {w} and leave cluster_size stale)."""
+    import datetime as dt
+
+    ts = dt.datetime(2020, 1, 1)
+    mk = lambda cid, text: (cid, 0, "user", text, "", ts)
+    rows = [
+        # x and y duplicate folders (same member names + contents,
+        # including subfolder s)
+        mk("x/s/a", "sub-a"), mk("x/s/b", "sub-b"), mk("x/top", "t"),
+        mk("y/s/a", "sub-a"), mk("y/s/b", "sub-b"), mk("y/top", "t"),
+        # w duplicates ONLY the subfolder s (same member names + contents)
+        mk("w/a", "sub-a"), mk("w/b", "sub-b"),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    conv_hashes, clusters = _conv_hashes(spark, df)
+    res = run_group_dedup(conv_hashes, clusters, CFG)
+
+    dup_folders = {r["folder"] for r in res["dup_folders"].collect()}
+    assert dup_folders == {"x", "y", "x/s", "y/s", "w"}
+
+    top = {
+        r["folder"]: (r["cluster_id"], r["cluster_size"])
+        for r in res["top_folders"].collect()
+    }
+    # group {x,y} survives; group {x/s, y/s, w} survives WHOLE because w
+    # is top-level — nested members x/s, y/s stay in the report
+    assert set(top) == {"x", "y", "x/s", "y/s", "w"}
+    assert top["w"] == top["x/s"] == top["y/s"]  # one set, one label
+    assert top["w"][1] == 3  # cluster_size == surviving membership
+    # fully-nested-group case is pinned by test_hand_fixture_group_semantics

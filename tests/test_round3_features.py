@@ -397,3 +397,74 @@ def test_failed_checkpoint_write_invalidates_stale_manifest(spark, tmp_path):
     except Exception:
         pass
     assert not ckpt.exists("p_test")  # stale manifest must be gone
+
+
+def test_connected_components_long_chain_and_nonconvergence():
+    """Pointer jumping: a 120-node path graph converges in O(log d)
+    rounds (plain neighbor-min needs 119 > max_iter and previously
+    returned SPLIT components silently); non-convergence now raises."""
+    import pytest as _pytest
+
+    from fast_duplicate_finder_spark.operators.connected_components import (
+        connected_components,
+    )
+    from fast_duplicate_finder_spark.session import get_spark
+
+    spark = get_spark("cc-chain", cores=4, shuffle_partitions=8)
+    n = 120
+    ids = [f"{i:05d}" for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)],
+        "conv_id_a string, conv_id_b string",
+    )
+    comp = connected_components(pairs, max_iter=15)
+    labels = {r["component"] for r in comp.collect()}
+    assert labels == {ids[0]}  # ONE component, min label everywhere
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_read_dup_log_empty_and_missing(spark, tmp_path):
+    """A duplicate-free stream writes only _SUCCESS markers; before the
+    first batch nothing exists — both must read as an EMPTY log, not
+    raise schema-inference errors."""
+    import os as _os
+
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        read_dup_log,
+        run_incremental_dedup,
+    )
+
+    wd = str(tmp_path / "wd")
+    assert read_dup_log(spark, wd).count() == 0  # nothing exists yet
+
+    # corpus with NO duplicates at all
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(f"c{i}", 0, "user", f"unique text {i}", "", None) for i in range(8)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).write.parquet(inp)
+    q = run_incremental_dedup(spark, inp, wd)
+    q.awaitTermination(60)
+    log = read_dup_log(spark, wd)
+    assert log.count() == 0
+    assert "first_conv_id" in log.columns
+
+
+def test_simhash_pairs_invariant_under_salting(spark):
+    """Salting changes pair PLACEMENT, never the pair set."""
+    from fast_duplicate_finder_spark.functions.simhash import (
+        simhash_candidate_pairs,
+    )
+
+    sims = spark.createDataFrame(
+        [(f"c{i:02d}", (i % 3) * 17 + ((i % 2) << 50)) for i in range(24)],
+        "conv_id string, simhash long",
+    )
+    p1, _ = simhash_candidate_pairs(sims, 3, max_bucket=100, n_salt=1)
+    p8, _ = simhash_candidate_pairs(sims, 3, max_bucket=100, n_salt=8)
+    r1 = sorted(tuple(r) for r in p1.collect())
+    r8 = sorted(tuple(r) for r in p8.collect())
+    assert r1 == r8 and len(r1) > 0
