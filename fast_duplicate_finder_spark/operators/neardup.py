@@ -291,7 +291,12 @@ def span_pairs(
     content) when a pair shares several disjoint spans, and BELOW it when
     a shared span internally repeats identical windows (a run of repeated
     tokens collapses to one distinct supershingle): a span-length
-    estimate, exact in the common case. Pair MEMBERSHIP is exact always
+    estimate, exact in the common case. When the exact longest run
+    matters, queries.q_span_longest_run keeps supershingle POSITIONS and
+    takes the max consecutive run per (pair, diagonal), which equals
+    difflib's longest matching block in all three cases (pinned by
+    tests/test_span_exact.py::test_longest_run_matches_difflib_planted).
+    Pair MEMBERSHIP is exact always
     (>= 1 shared supershingle iff a >= span_min_tokens span is shared,
     modulo 64-bit collisions). The winnowing operators remain as the
     candidate-generation path for sub-span similarity (and the

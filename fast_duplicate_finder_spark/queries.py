@@ -754,6 +754,106 @@ FROM capped a JOIN capped b ON a.ss = b.ss AND a.doc_id < b.doc_id
 GROUP BY 1, 2"""
 
 
+def _span_longest_runs(c: DataFrame) -> DataFrame:
+    """Core of q_span_longest_run over a (doc_id, text) DataFrame —
+    factored out so tests can feed hand-planted repetition cases."""
+    W = _SPAN_TOKENS
+    toks = c.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w_frame = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, W - 1)
+    )
+    sp = (
+        toks.withColumn("arr", F.collect_list("w").over(w_frame))
+        .filter(F.size("arr") == W)
+        .select(
+            "doc_id", "pos", F.xxhash64(F.array_join("arr", " ")).alias("ss")
+        )
+        .localCheckpoint(eager=True)  # feeds the bucket window AND both
+    )                                 # self-join sides
+    # Same skew rule as span_exact_pairs, counted over DISTINCT docs per
+    # window value (a window repeated WITHIN one doc must not trip the
+    # boilerplate cap).
+    docs = sp.select("doc_id", "ss").distinct()
+    keep = (
+        docs.withColumn("n", F.count("*").over(Window.partitionBy("ss")))
+        .filter((F.col("n") >= 2) & (F.col("n") <= CFG.max_band_bucket))
+        .select("ss")
+        .distinct()
+    )
+    m = (
+        sp.join(keep, "ss")
+        .alias("a")
+        .join(
+            sp.join(keep, "ss").alias("b"),
+            (F.col("a.ss") == F.col("b.ss"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    # (pair, diag, pa) is unique: one window value per position, so for a
+    # fixed diagonal each pa matches exactly one pb. Consecutive pa runs on
+    # a diagonal <=> one shared contiguous token run.
+    w_diag = Window.partitionBy("doc_id_a", "doc_id_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w_diag))
+        .groupBy("doc_id_a", "doc_id_b", "diag", "grp")
+        .agg(F.count("*").alias("run"))
+    )
+    return runs.groupBy("doc_id_a", "doc_id_b").agg(
+        (F.max("run") + W - 1).cast("long").alias("longest_run_tokens")
+    )
+
+
+def q_span_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT longest shared contiguous token run per qualifying pair —
+    the positional refinement of span_exact_pairs. Supershingles keep
+    their positions; matches land on diagonals (pos_a - pos_b constant)
+    and a shared run of L >= 40 tokens is exactly L - 39 consecutive
+    window matches on one diagonal, so max-run-per-diagonal + 39 ==
+    difflib's longest matching block, INCLUDING the two cases where
+    span_exact_pairs's distinct-count is only an estimate: internally
+    repetitive spans (distinct undercounts) and multiple disjoint spans
+    (distinct sums them). Pair membership is identical to
+    span_exact_pairs (same >= 1 shared window rule, same doc-level
+    boilerplate cap). Cost over the distinct form: positional rows join
+    occ_a x occ_b per repeated window value within a pair — bounded by
+    within-doc repetition, the quantity the run length measures anyway.
+    """
+    return _span_longest_runs(dup_corpus(spark, sf_dir))
+
+
+ORACLE_SPAN_LONGEST = f"""WITH {CORPUS_CTE},
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+sp AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+{_SPAN_TOKENS - 1}], ' ') AS ss
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_SPAN_TOKENS - 2})) AS i
+        FROM t WHERE len(ws) >= {_SPAN_TOKENS})),
+keep AS (
+  SELECT ss FROM (SELECT DISTINCT doc_id, ss FROM sp)
+  GROUP BY ss HAVING count(*) BETWEEN 2 AND {CFG.max_band_bucket}),
+m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag
+  FROM sp a JOIN sp b ON a.ss = b.ss AND a.doc_id < b.doc_id
+  JOIN keep k ON a.ss = k.ss),
+runs AS (
+  SELECT da, db, count(*) AS run
+  FROM (SELECT da, db, diag, pa,
+               pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+        FROM m)
+  GROUP BY da, db, diag, grp)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       (max(run) + {_SPAN_TOKENS - 1})::BIGINT AS longest_run_tokens
+FROM runs GROUP BY 1, 2"""
+
+
 def q_connected_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact-dup star edges — the clustering
     operator with a transitive-closure-free oracle (exact groups ARE the
@@ -1051,6 +1151,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "winnow_span_candidates": q_winnow_span_candidates,
     "span_exact_pairs": q_span_exact_pairs,
+    "span_longest_run": q_span_longest_run,
     "connected_components_exact": q_connected_components_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -1074,6 +1175,7 @@ ORACLES = {
     "simhash_pairs": ORACLE_SIMHASH,
     "winnow_span_candidates": ORACLE_WINNOW,
     "span_exact_pairs": ORACLE_SPAN_EXACT,
+    "span_longest_run": ORACLE_SPAN_LONGEST,
     "connected_components_exact": ORACLE_CC,
     "token_stats": ORACLE_TOKEN_STATS,
     "quality_scores": ORACLE_QUALITY,

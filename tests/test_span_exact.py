@@ -75,3 +75,56 @@ def test_supershingle_span_matches_difflib_oracle(spark):
     # exact-duplicate families share their whole document: single span
     exact = [p for p in new if new[p] == old[p]]
     assert len(exact) >= len(new) // 2
+
+
+def test_longest_run_matches_difflib_planted(spark):
+    """q_span_longest_run is EXACT (== difflib's longest matching block)
+    in the two cases where span_exact_pairs's distinct-supershingle count
+    is only an estimate: an internally repetitive shared span (distinct
+    collapses to one window -> undercount) and multiple disjoint shared
+    spans (distinct sums them -> overcount)."""
+    import difflib
+
+    from fast_duplicate_finder_spark.queries import (
+        _SPAN_TOKENS,
+        _span_longest_runs,
+    )
+
+    W = _SPAN_TOKENS  # 40
+    base = [f"w{i}" for i in range(300)]
+    docs = {
+        1: base,
+        # single 100-token shared span
+        2: [f"x{i}" for i in range(40)]
+        + base[50:150]
+        + [f"y{i}" for i in range(40)],
+        # internally repetitive shared span: 60 identical tokens
+        3: [f"p{i}" for i in range(50)] + ["rep"] * 60
+        + [f"q{i}" for i in range(50)],
+        4: [f"r{i}" for i in range(50)] + ["rep"] * 60
+        + [f"s{i}" for i in range(50)],
+        # two DISJOINT 45-token shared spans, swapped order
+        5: [f"a{i}" for i in range(45)] + [f"c{i}" for i in range(60)]
+        + [f"b{i}" for i in range(45)],
+        6: [f"b{i}" for i in range(45)] + [f"d{i}" for i in range(60)]
+        + [f"a{i}" for i in range(45)],
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["longest_run_tokens"]
+        for r in _span_longest_runs(df).collect()
+    }
+    exp = {}
+    for a in docs:
+        for b in docs:
+            if a < b:
+                m = difflib.SequenceMatcher(
+                    None, docs[a], docs[b], autojunk=False
+                ).find_longest_match(0, len(docs[a]), 0, len(docs[b]))
+                if m.size >= W:
+                    exp[(a, b)] = m.size
+    assert exp == {(1, 2): 100, (3, 4): 60, (5, 6): 45}  # pin the plant
+    assert got == exp
