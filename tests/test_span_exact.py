@@ -128,3 +128,52 @@ def test_longest_run_matches_difflib_planted(spark):
                     exp[(a, b)] = m.size
     assert exp == {(1, 2): 100, (3, 4): 60, (5, 6): 45}  # pin the plant
     assert got == exp
+
+
+def test_longest_run_matches_difflib_low_vocab_random(spark):
+    """Adversarial differential: 24 seeded-random docs over a TWO-token
+    vocabulary (maximal window repetition within and across docs), with
+    shared slices planted between random pairs. Every qualifying pair's
+    longest_run_tokens must equal difflib's longest matching block
+    exactly — the regime where distinct-supershingle counting is most
+    wrong and diagonal bookkeeping is most stressed."""
+    import difflib
+    import random
+
+    from fast_duplicate_finder_spark.queries import (
+        _SPAN_TOKENS,
+        _span_longest_runs,
+    )
+
+    W = _SPAN_TOKENS
+    rng = random.Random(1234)
+    docs = {
+        i: [rng.choice(("a", "b")) for _ in range(120)] for i in range(24)
+    }
+    # plant shared slices (some >= W, some just below) between pairs
+    for a, b, ln in [(0, 1, 80), (2, 3, 41), (4, 5, 40), (6, 7, 39),
+                     (8, 9, 60), (0, 9, 45), (10, 11, 100)]:
+        seg = [rng.choice(("a", "b")) for _ in range(ln)]
+        pa = rng.randrange(0, 120 - ln + 1)
+        pb = rng.randrange(0, 120 - ln + 1)
+        docs[a][pa:pa + ln] = seg
+        docs[b][pb:pb + ln] = seg
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["longest_run_tokens"]
+        for r in _span_longest_runs(df).collect()
+    }
+    exp = {}
+    for a in docs:
+        for b in docs:
+            if a < b:
+                m = difflib.SequenceMatcher(
+                    None, docs[a], docs[b], autojunk=False
+                ).find_longest_match(0, len(docs[a]), 0, len(docs[b]))
+                if m.size >= W:
+                    exp[(a, b)] = m.size
+    assert len(exp) >= 6  # the planted >= W pairs (plants may overlap)
+    assert got == exp
