@@ -51,7 +51,7 @@ def lsh_band_rows(sigs: DataFrame, cfg: PipelineConfig,
 
 def two_level_pairs(
     rows: DataFrame, key_cols: list[str], n_salt: int,
-    id_col: str = "conv_id",
+    id_col: str = "conv_id", payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """All unordered id pairs within each key group, generated across
     ~``n_salt`` tasks per group instead of one (two-level salted pair
@@ -64,15 +64,27 @@ def two_level_pairs(
     with salts (u, v) is emitted exactly once: in cell u when u < v, or in
     cell u ordered by id when u == v. Join work per group is unchanged
     (every pair is still enumerated once); only its placement is split.
+
+    ``payload_cols``: NARROW per-row columns carried through the join and
+    emitted as ``<col>_a`` / ``<col>_b`` aligned with (conv_id_a,
+    conv_id_b). For a fixed-width payload (simhash's 8-byte signature)
+    this is strictly cheaper than re-attaching values to the emitted
+    pairs with joins against the id->payload table; wide payloads (shset
+    arrays) should use operators/verify.attach_pair_payload instead —
+    carrying them would multiply the replicated b-side by the payload
+    width.
     """
+    payload_cols = payload_cols or []
     salt_of = lambda c: F.pmod(F.xxhash64(c), F.lit(n_salt)).cast("int")  # noqa: E731
     a = rows.select(
         *key_cols,
+        *payload_cols,
         F.col(id_col).alias("ida"),
         salt_of(F.col(id_col)).alias("cell"),
     ).alias("a")
     b = rows.select(
         *key_cols,
+        *payload_cols,
         F.col(id_col).alias("idb"),
         salt_of(F.col(id_col)).alias("salt_b"),
         F.explode(
@@ -82,7 +94,8 @@ def two_level_pairs(
     cond = (F.col("a.cell") == F.col("b.cell"))
     for k in key_cols:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    return (
+    a_first = F.col("a.ida") < F.col("b.idb")  # align payloads with the
+    return (                                   # least/greatest id swap
         a.join(b, cond)
         .filter(
             (F.col("b.salt_b") > F.col("a.cell"))
@@ -94,6 +107,18 @@ def two_level_pairs(
         .select(
             F.least("a.ida", "b.idb").alias("conv_id_a"),
             F.greatest("a.ida", "b.idb").alias("conv_id_b"),
+            *[
+                F.when(a_first, F.col(f"a.{p}"))
+                .otherwise(F.col(f"b.{p}"))
+                .alias(f"{p}_a")
+                for p in payload_cols
+            ],
+            *[
+                F.when(a_first, F.col(f"b.{p}"))
+                .otherwise(F.col(f"a.{p}"))
+                .alias(f"{p}_b")
+                for p in payload_cols
+            ],
         )
     )
 
@@ -104,6 +129,7 @@ def capped_pairs(
     max_bucket: int,
     n_salt: int = 1,
     dedupe: bool = True,
+    payload_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared capped + salted self-join: (conv_id, key...) rows ->
     ((conv_id_a, conv_id_b) pairs, overflow metrics). The ONE pair
@@ -122,7 +148,14 @@ def capped_pairs(
     (each occurrence emitted exactly once — the two_level invariant), so
     a caller can ``groupBy(pair).count()`` shared keys (the span leg's
     span_tokens).
+
+    ``payload_cols``: narrow per-row columns carried through the self-join
+    and emitted as ``<col>_a`` / ``<col>_b`` (see two_level_pairs) — the
+    cheap verify path for fixed-width signatures (simhash); wide payloads
+    should be re-attached to the (few) emitted pairs via
+    operators/verify.attach_pair_payload instead.
     """
+    payload_cols = payload_cols or []
     w = Window.partitionBy(*key_cols)
     # Eager: (pairs, overflow) are consumed by SEPARATE actions (two
     # checkpoint writes in the pipeline), and each action re-plans the
@@ -141,7 +174,7 @@ def capped_pairs(
         .agg(F.first("bucket_n").alias("bucket_n"))
     )
     ok = sized.filter(F.col("bucket_n") <= max_bucket).select(
-        "conv_id", *key_cols, "bucket_n"
+        "conv_id", *key_cols, *payload_cols, "bucket_n"
     )
     n_salt = max(int(n_salt), 1)
     hot_threshold = (
@@ -156,11 +189,15 @@ def capped_pairs(
     cold_pairs = a.join(b, cond).select(
         F.col("a.conv_id").alias("conv_id_a"),
         F.col("b.conv_id").alias("conv_id_b"),
+        *[F.col(f"a.{p}").alias(f"{p}_a") for p in payload_cols],
+        *[F.col(f"b.{p}").alias(f"{p}_b") for p in payload_cols],
     )
     pairs = cold_pairs
     if n_salt > 1:
         hot = ok.filter(F.col("bucket_n") > hot_threshold)
-        pairs = cold_pairs.union(two_level_pairs(hot, key_cols, n_salt))
+        pairs = cold_pairs.union(
+            two_level_pairs(hot, key_cols, n_salt, payload_cols=payload_cols)
+        )
     return (pairs.distinct() if dedupe else pairs), overflow
 
 

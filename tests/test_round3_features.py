@@ -468,3 +468,33 @@ def test_simhash_pairs_invariant_under_salting(spark):
     r1 = sorted(tuple(r) for r in p1.collect())
     r8 = sorted(tuple(r) for r in p8.collect())
     assert r1 == r8 and len(r1) > 0
+
+
+def test_capped_pairs_payload_carry_alignment(spark):
+    """payload_cols ride through BOTH the cold self-join and the salted
+    two-level branch with values aligned to (conv_id_a, conv_id_b) after
+    the least/greatest id swap: payload_a must always be payload(conv_id_a).
+    One hot bucket (> max_bucket // n_salt members) forces the salted
+    branch; a cold bucket covers the plain join."""
+    from pyspark.sql import functions as F
+
+    from fast_duplicate_finder_spark.operators.lsh import capped_pairs
+
+    rows = [(f"c{i:03d}", "hot") for i in range(40)] + [
+        (f"d{i}", "cold") for i in range(4)
+    ]
+    df = (
+        spark.createDataFrame(rows, "conv_id string, k string")
+        .withColumn("payload", F.concat(F.lit("p:"), F.col("conv_id")))
+    )
+    pairs, overflow = capped_pairs(
+        df, ["k"], max_bucket=2000, n_salt=8, payload_cols=["payload"]
+    )
+    got = pairs.collect()
+    assert overflow.count() == 0
+    n_hot, n_cold = 40, 4
+    assert len(got) == n_hot * (n_hot - 1) // 2 + n_cold * (n_cold - 1) // 2
+    for r in got:
+        assert r["conv_id_a"] < r["conv_id_b"]
+        assert r["payload_a"] == "p:" + r["conv_id_a"]
+        assert r["payload_b"] == "p:" + r["conv_id_b"]
