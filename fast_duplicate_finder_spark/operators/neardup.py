@@ -128,6 +128,15 @@ def near_dup_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     mh = make_minhash_udf(cfg.lsh_perms_used, cfg.minhash_seed)
     window = max(cfg.span_min_tokens - cfg.shingle_k + 1, 1)
     feats = shingle_features(docs, cfg)
+    # Measured dead end (5.2M turns, local[8]): fusing all three
+    # signatures into ONE struct-returning Arrow kernel (rolling-hash
+    # supershingles in numpy, shset+grams serialized once) changed
+    # nothing (84.1 s vs 84.7 s for the phase) — the sgs HOF runs
+    # JVM-side CONCURRENTLY with the Python kernel evaluation, so the
+    # phase is max(JVM, Python), not their sum, and shipping the wide
+    # grams column across Arrow ate exactly what the cheaper rolling
+    # hash saved. Expression-level isolation (26.8 s HOF vs ~10 s
+    # kernel) is NOT phase-level wall when the engine overlaps them.
     return feats.select(
         "conv_id",
         "shset",

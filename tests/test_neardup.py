@@ -48,7 +48,7 @@ def test_minhash_estimates_jaccard():
     # identical sets -> identical signatures
     with np.errstate(over="ignore"):
         s2 = minhash_batch(pd.Series([list(base), list(base)]), seeds)
-    assert s2[0] == s2[1]
+    assert list(s2[0]) == list(s2[1])
 
 
 def test_connected_components_basic(spark):
@@ -147,3 +147,4 @@ def test_supershingle_set_short_docs_empty(spark):
     }
     # size < window -> 0; size == window -> 1; size == window+1 -> 2
     assert out == {1: 0, 2: 1, 3: 0, 4: 2}
+
