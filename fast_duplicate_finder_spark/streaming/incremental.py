@@ -20,6 +20,14 @@ cascade incremental without reprocessing history:
     the current epoch's own partitions;
   - at scale this layout is the Iceberg MERGE target; the batch join is
     broadcast when the micro-batch is small, shuffle otherwise (AQE).
+* ``run_incremental_simhash`` — the NEAR-dup analogue: per micro-batch
+  SimHash signatures (same kernel as the batch leg), intra-batch pairs via
+  the shared capped+salted generator, cross-batch pairs via a pigeonhole
+  equi-join against the exploded chunk-index state table (partitioned by
+  (epoch_id, cp = chunk_val % N_STATE_PREFIXES), read pruned to the
+  batch's own prefixes), signatures carried on the rows so Hamming
+  verification is inline. Pair set equals the batch operator's on an
+  uncapped corpus; each pair is emitted once, at its later member's epoch.
 * ``sessionize`` — event-time session windows (``F.session_window``) with a
   watermark for late data. The same expression works on a batch DataFrame
   (all sessions emitted) and on a stream (sessions emitted as the watermark
@@ -228,3 +236,179 @@ def sessionize(
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (SimHash fuzz pass)
+# ---------------------------------------------------------------------------
+
+NEAR_PAIR_SCHEMA = (
+    "conv_id_a string, conv_id_b string, hamming int, epoch_id bigint"
+)
+
+
+def _simhash_batch_fn(
+    batch: DataFrame, epoch_id: int, state_dir: str, pairs_dir: str, cfg
+) -> None:
+    """One micro-batch of the incremental SimHash fuzz pass.
+
+    State is the EXPLODED pigeonhole index: one row per (chunk_id,
+    chunk_val) of every conversation's 64-bit signature, partitioned by
+    (epoch_id, cp = chunk_val % N_STATE_PREFIXES). The per-batch state
+    read is pruned to the batch's own chunk prefixes AND to prior epochs
+    (same replay contract as `_dedup_batch`: a re-run epoch never sees its
+    own half-written rows, and both writes dynamic-overwrite exactly their
+    own epoch partitions — byte-identical under at-least-once replay).
+
+    Pairs per batch = (new x new) through the shared capped+salted
+    generator (simhash_candidate_pairs, signatures riding as payload) +
+    (new x state) as a pigeonhole equi-join with the 8-byte signatures
+    carried on BOTH sides' rows, hamming verified inline — no signature
+    re-attach join, no state-side re-read of documents. State-side
+    buckets above cfg.max_band_bucket within the pruned slice are
+    excluded and COUNTED into the pair log as a (chunk_id-keyed) overflow
+    row with conv_id_a = '_overflow' (never silently dropped).
+    """
+    from fast_duplicate_finder_spark.functions.simhash import (
+        hamming64,
+        simhash_candidate_pairs,
+        simhash_chunks,
+        simhash_udf,
+    )
+    from fast_duplicate_finder_spark.operators.neardup import (
+        shingle_features,
+    )
+
+    spark = batch.sparkSession
+    docs = assemble_conversations(batch)
+    sims = (
+        shingle_features(docs, cfg)
+        .filter(F.size("shset") > 0)
+        .select("conv_id", simhash_udf("shset").alias("simhash"))
+        .localCheckpoint(eager=True)  # feeds chunks + intra-batch self-join
+    )
+    n_chunks = cfg.simhash_hamming + 1
+    chunks = sims.select(
+        "conv_id",
+        "simhash",
+        F.posexplode(simhash_chunks(F.col("simhash"), n_chunks)).alias(
+            "chunk_id", "chunk_val"
+        ),
+    ).withColumn(
+        "cp", F.pmod(F.col("chunk_val"), F.lit(N_STATE_PREFIXES)).cast("int")
+    ).localCheckpoint(eager=True)
+
+    intra, _ = simhash_candidate_pairs(
+        sims,
+        cfg.simhash_hamming,
+        max_bucket=cfg.max_band_bucket,
+        n_salt=cfg.band_salt_buckets,
+    )
+    pairs = intra
+    state_data = os.path.join(state_dir, "data")
+    if os.path.exists(state_data):
+        cps = [r["cp"] for r in chunks.select("cp").distinct().collect()]
+        state = (
+            spark.read.parquet(state_data)
+            .filter(F.col("epoch_id") != epoch_id)
+            .filter(F.col("cp").isin(cps))
+        )
+        w_bucket = Window.partitionBy("chunk_id", "chunk_val")
+        state = state.withColumn("bn", F.count("*").over(w_bucket))
+        hot = (
+            state.filter(F.col("bn") > cfg.max_band_bucket)
+            .groupBy("chunk_id")
+            .agg(F.count("*").cast("int").alias("hamming"))
+            .select(
+                F.lit("_overflow").alias("conv_id_a"),
+                F.concat(F.lit("chunk_"), F.col("chunk_id")).alias(
+                    "conv_id_b"
+                ),
+                "hamming",
+            )
+        )
+        cross = (
+            state.filter(F.col("bn") <= cfg.max_band_bucket)
+            .select(
+                F.col("conv_id").alias("sc"),
+                F.col("simhash").alias("ss"),
+                "chunk_id",
+                "chunk_val",
+            )
+            .join(
+                chunks.select(
+                    F.col("conv_id").alias("bc"),
+                    F.col("simhash").alias("bs"),
+                    "chunk_id",
+                    "chunk_val",
+                ),
+                ["chunk_id", "chunk_val"],
+            )
+            .filter(F.col("sc") != F.col("bc"))
+            .select(
+                F.least("sc", "bc").alias("conv_id_a"),
+                F.greatest("sc", "bc").alias("conv_id_b"),
+                hamming64(F.col("ss"), F.col("bs")).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= cfg.simhash_hamming)
+        )
+        pairs = intra.unionByName(cross).unionByName(hot)
+    (
+        pairs.distinct()
+        .withColumn("epoch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(os.path.join(pairs_dir, "data"))
+    )
+    (
+        chunks.withColumn("epoch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id", "cp")
+        .parquet(state_data)
+    )
+
+
+def run_incremental_simhash(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    cfg=None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with ``available_now`` run to completion) the incremental
+    SimHash near-dup stream. Returns the StreamingQuery. Pair semantics
+    equal the batch operator's on an uncapped corpus: every pair within
+    ``cfg.simhash_hamming`` bits whose members ever co-exist in the stream
+    is emitted exactly once (at the later member's epoch)."""
+    from fast_duplicate_finder_spark.config import PipelineConfig
+
+    cfg = cfg or PipelineConfig()
+    state_dir = os.path.join(work_dir, "sim_state")
+    pairs_dir = os.path.join(work_dir, "near_pairs")
+    ckpt = os.path.join(work_dir, "_simhash_stream_checkpoint")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(pairs_dir, exist_ok=True)
+    stream = stream_transcripts(spark, input_path, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, eid: _simhash_batch_fn(df, eid, state_dir, pairs_dir, cfg)
+    ).option("checkpointLocation", ckpt)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_near_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Every near-dup pair the stream has emitted (see read_dup_log for
+    the empty-log contract)."""
+    path = os.path.join(work_dir, "near_pairs", "data")
+    has_parts = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    if not has_parts:
+        return spark.createDataFrame([], NEAR_PAIR_SCHEMA)
+    return spark.read.parquet(path)

@@ -232,3 +232,142 @@ def test_legacy_unpartitioned_state_is_migrated(spark, tmp_path):
     # idempotent: migrating again is a no-op
     _migrate_legacy_state(spark, state_data)
     assert spark.read.parquet(state_data).count() == legacy.count()
+
+
+def _one_turn_rows(docs: dict[str, str]):
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    return [(cid, 0, "user", text, "", ts) for cid, text in docs.items()]
+
+
+_TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def test_incremental_simhash_matches_batch(spark, tmp_path):
+    """Streamed SimHash pairs over two micro-batches equal the batch
+    operator's pair set on the full corpus — including a fuzz pair whose
+    members arrive in DIFFERENT micro-batches (the state join) and one
+    within a single batch (the capped+salted intra-batch generator)."""
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.functions.simhash import (
+        simhash_candidate_pairs,
+        simhash_udf,
+    )
+    from fast_duplicate_finder_spark.operators.neardup import (
+        shingle_features,
+    )
+    from fast_duplicate_finder_spark.sources.transcripts import (
+        assemble_conversations,
+    )
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        read_near_pair_log,
+        run_incremental_simhash,
+    )
+
+    cfg = PipelineConfig()
+    base = " ".join(f"tok{i}" for i in range(300))
+    u_base = " ".join(f"u{i}" for i in range(300))  # one-token fuzz of the
+    # "u" vocab measures hamming 3 (== cfg.simhash_hamming); the "s" vocab
+    # measures 4 and is legitimately NOT a pair — vote margins are
+    # vocabulary-dependent
+    batch1 = {"p1": base, "s1": u_base, "s2": u_base.replace("u150", "u150x")}
+    batch2 = {
+        "p2": base.replace("tok150", "tok150x"),
+        "q1": " ".join(f"other{i}" for i in range(300)),
+    }
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, docs in enumerate((batch1, batch2)):
+        spark.createDataFrame(
+            _one_turn_rows(docs), _TRANSCRIPT_SCHEMA
+        ).coalesce(1).write.parquet(str(tmp_path / f"b{i}"))
+        import os as _os
+
+        for f in _os.listdir(tmp_path / f"b{i}"):
+            if f.endswith(".parquet"):
+                _os.rename(tmp_path / f"b{i}" / f, in_dir / f"part{i}.parquet")
+
+    q = run_incremental_simhash(
+        spark, str(in_dir), str(tmp_path / "work"), cfg,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in read_near_pair_log(spark, str(tmp_path / "work")).collect()
+    }
+
+    all_rows = spark.createDataFrame(
+        _one_turn_rows({**batch1, **batch2}), _TRANSCRIPT_SCHEMA
+    )
+    sims = (
+        shingle_features(assemble_conversations(all_rows), cfg)
+        .filter(F.size("shset") > 0)
+        .select("conv_id", simhash_udf("shset").alias("simhash"))
+    )
+    batch_pairs, overflow = simhash_candidate_pairs(
+        sims, cfg.simhash_hamming, max_bucket=cfg.max_band_bucket,
+        n_salt=cfg.band_salt_buckets,
+    )
+    expected = {
+        (r["conv_id_a"], r["conv_id_b"]) for r in batch_pairs.collect()
+    }
+    assert overflow.count() == 0
+    assert ("p1", "p2") in got      # cross-batch (state join)
+    assert ("s1", "s2") in got      # intra-batch (salted generator)
+    assert not any("q1" in p for p in got)
+    assert got == expected
+
+
+def test_incremental_simhash_replay_idempotent_and_partitioned(
+    spark, tmp_path
+):
+    """An at-least-once replay of the SAME epoch leaves the pair log and
+    the exploded pigeonhole state byte-identical, and the state lands in
+    (epoch_id, cp) partitions."""
+    import os as _os
+
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _simhash_batch_fn,
+    )
+
+    cfg = PipelineConfig()
+    base = " ".join(f"w{i}" for i in range(200))
+    b1 = spark.createDataFrame(
+        _one_turn_rows({"a1": base}), _TRANSCRIPT_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        _one_turn_rows({"a2": base.replace("w100", "w100x")}),
+        _TRANSCRIPT_SCHEMA,
+    )
+    sd, pd_ = str(tmp_path / "sim_state"), str(tmp_path / "near_pairs")
+    _simhash_batch_fn(b1, 0, sd, pd_, cfg)
+    _simhash_batch_fn(b2, 1, sd, pd_, cfg)
+
+    state_path = _os.path.join(sd, "data")
+    assert any(
+        d.startswith("epoch_id=") for d in _os.listdir(state_path)
+    )
+    ep0 = _os.path.join(state_path, "epoch_id=0")
+    assert any(d.startswith("cp=") for d in _os.listdir(ep0))
+
+    state1 = sorted(tuple(r) for r in spark.read.parquet(state_path).collect())
+    pairs1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(_os.path.join(pd_, "data")).collect()
+    )
+    assert pairs1  # the cross-epoch fuzz pair
+
+    _simhash_batch_fn(b2, 1, sd, pd_, cfg)  # replay epoch 1
+    state2 = sorted(tuple(r) for r in spark.read.parquet(state_path).collect())
+    pairs2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(_os.path.join(pd_, "data")).collect()
+    )
+    assert state1 == state2
+    assert pairs1 == pairs2
