@@ -28,6 +28,12 @@ cascade incremental without reprocessing history:
   batch's own prefixes), signatures carried on the rows so Hamming
   verification is inline. Pair set equals the batch operator's on an
   uncapped corpus; each pair is emitted once, at its later member's epoch.
+* ``run_incremental_lsh`` — MinHash/LSH with exact-Jaccard verify, the
+  wide-payload variant: band rows AND shingle sets are separate state
+  tables ((epoch_id, band prefix) / (epoch_id, conv-id prefix)); the
+  verify read is pruned to the prefixes of exactly the state convs the
+  surviving band candidates name, so the wide sets never ride the band
+  join and never scan in full.
 * ``sessionize`` — event-time session windows (``F.session_window``) with a
   watermark for late data. The same expression works on a batch DataFrame
   (all sessions emitted) and on a stream (sessions emitted as the watermark
@@ -411,4 +417,242 @@ def read_near_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
     )
     if not has_parts:
         return spark.createDataFrame([], NEAR_PAIR_SCHEMA)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (MinHash/LSH + exact-Jaccard verify)
+# ---------------------------------------------------------------------------
+
+LSH_PAIR_SCHEMA = (
+    "conv_id_a string, conv_id_b string, jaccard double, epoch_id bigint"
+)
+
+
+def _lsh_batch_fn(
+    batch: DataFrame, epoch_id: int, state_dir: str, pairs_dir: str, cfg
+) -> None:
+    """One micro-batch of the incremental MinHash/LSH near-dup pass — the
+    WIDE-payload streaming variant (cf. `_simhash_batch_fn`, whose 8-byte
+    signatures ride the join rows). Two state tables:
+
+    * ``bands/data`` — (conv_id, band_id, band_hash) rows partitioned by
+      (epoch_id, bp = band_hash % N_STATE_PREFIXES): candidate generation;
+      the per-batch read is pruned to the batch's own band prefixes.
+    * ``feats/data`` — (conv_id, shset) partitioned by (epoch_id,
+      hp = xxhash64(conv_id) % N_STATE_PREFIXES): exact-Jaccard verify
+      payload. hp is DERIVABLE FROM THE ID, so the verify read is pruned
+      to the prefixes of exactly the state conversations named by the
+      surviving candidates — shingle sets are too wide to carry through
+      the band join (the measured width rule, PLANS.md), and this layout
+      reads back only the needed slice instead of the whole history.
+
+    Pair semantics equal the batch operator's on an uncapped corpus:
+    intra-batch pairs through `operators/neardup.minhash_pairs`'s exact
+    path (capped+salted band join, array_intersect verify); cross-batch
+    candidates from the band-state join (hot state buckets capped +
+    counted as '_overflow' marker rows), verified with the same exact
+    Jaccard. Same replay contract as the exact leg: reads exclude the
+    current epoch, writes dynamic-overwrite exactly their own epoch
+    partitions — at-least-once replay is byte-identical."""
+    from fast_duplicate_finder_spark.functions.minhash import (
+        make_minhash_udf,
+    )
+    from fast_duplicate_finder_spark.operators.lsh import (
+        candidate_pairs,
+        lsh_band_rows,
+    )
+    from fast_duplicate_finder_spark.operators.neardup import (
+        shingle_features,
+    )
+    from fast_duplicate_finder_spark.operators.verify import verify_jaccard
+
+    spark = batch.sparkSession
+    docs = assemble_conversations(batch)
+    feats = (
+        shingle_features(docs, cfg)
+        .filter(F.size("shset") > 0)
+        .select("conv_id", "shset")
+        .localCheckpoint(eager=True)  # verify payload for BOTH pair legs
+    )
+    mh = make_minhash_udf(cfg.lsh_perms_used, cfg.minhash_seed)
+    sigs = feats.select("conv_id", mh("shset").alias("minhash"))
+    bands = (
+        lsh_band_rows(sigs, cfg)
+        .withColumn(
+            "bp", F.pmod(F.col("band_hash"), F.lit(N_STATE_PREFIXES)).cast("int")
+        )
+        .localCheckpoint(eager=True)  # self-join + state join + state write
+    )
+
+    cands, overflow = candidate_pairs(bands, cfg)
+    intra = verify_jaccard(cands, feats, cfg.jaccard_tau)
+    markers = overflow.groupBy("band_id").agg(
+        F.count("*").cast("double").alias("jaccard")
+    ).select(
+        F.lit("_overflow").alias("conv_id_a"),
+        F.concat(F.lit("band_"), F.col("band_id")).alias("conv_id_b"),
+        "jaccard",
+    )
+    pairs = intra.unionByName(markers)
+
+    bands_data = os.path.join(state_dir, "bands", "data")
+    feats_data = os.path.join(state_dir, "feats", "data")
+    if os.path.exists(bands_data):
+        bps = [r["bp"] for r in bands.select("bp").distinct().collect()]
+        sbands = (
+            spark.read.parquet(bands_data)
+            .filter(F.col("epoch_id") != epoch_id)
+            .filter(F.col("bp").isin(bps))
+        )
+        w_bucket = Window.partitionBy("band_id", "band_hash")
+        sbands = sbands.withColumn("bn", F.count("*").over(w_bucket))
+        state_markers = (
+            sbands.filter(F.col("bn") > cfg.max_band_bucket)
+            .groupBy("band_id")
+            .agg(F.count("*").cast("double").alias("jaccard"))
+            .select(
+                F.lit("_overflow").alias("conv_id_a"),
+                F.concat(F.lit("state_band_"), F.col("band_id")).alias(
+                    "conv_id_b"
+                ),
+                "jaccard",
+            )
+        )
+        cross_cand = (
+            sbands.filter(F.col("bn") <= cfg.max_band_bucket)
+            .select(
+                F.col("conv_id").alias("sc"), "band_id", "band_hash"
+            )
+            .join(
+                bands.select(
+                    F.col("conv_id").alias("bc"), "band_id", "band_hash"
+                ),
+                ["band_id", "band_hash"],
+            )
+            .filter(F.col("sc") != F.col("bc"))
+            .select("sc", "bc")
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds hp-collect + verify join
+        )
+        hps = [
+            r["hp"]
+            for r in cross_cand.select(
+                F.pmod(F.xxhash64("sc"), F.lit(N_STATE_PREFIXES))
+                .cast("int")
+                .alias("hp")
+            )
+            .distinct()
+            .collect()
+        ]
+        sfeats = (
+            spark.read.parquet(feats_data)
+            .filter(F.col("epoch_id") != epoch_id)
+            .filter(F.col("hp").isin(hps))
+            .select("conv_id", "shset")
+        )
+        cross_pairs = (
+            cross_cand.join(
+                sfeats.select(
+                    F.col("conv_id").alias("sc"),
+                    F.col("shset").alias("shset_s"),
+                ),
+                "sc",
+            )
+            .join(
+                feats.select(
+                    F.col("conv_id").alias("bc"),
+                    F.col("shset").alias("shset_b"),
+                ),
+                "bc",
+            )
+            .withColumn(
+                "inter",
+                F.size(F.array_intersect("shset_s", "shset_b")),
+            )
+            .withColumn(
+                "uni",
+                F.size("shset_s") + F.size("shset_b") - F.col("inter"),
+            )
+            .withColumn(
+                "jaccard",
+                F.when(
+                    F.col("uni") > 0, F.col("inter") / F.col("uni")
+                ).otherwise(F.lit(1.0)),
+            )
+            .filter(F.col("jaccard") >= cfg.jaccard_tau)
+            .select(
+                F.least("sc", "bc").alias("conv_id_a"),
+                F.greatest("sc", "bc").alias("conv_id_b"),
+                "jaccard",
+            )
+        )
+        pairs = pairs.unionByName(cross_pairs).unionByName(state_markers)
+
+    (
+        pairs.distinct()
+        .withColumn("epoch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(os.path.join(pairs_dir, "data"))
+    )
+    (
+        bands.withColumn("epoch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id", "bp")
+        .parquet(bands_data)
+    )
+    (
+        feats.withColumn(
+            "hp",
+            F.pmod(F.xxhash64("conv_id"), F.lit(N_STATE_PREFIXES)).cast("int"),
+        )
+        .withColumn("epoch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id", "hp")
+        .parquet(feats_data)
+    )
+
+
+def run_incremental_lsh(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    cfg=None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with ``available_now`` run to completion) the incremental
+    MinHash/LSH near-dup stream. Returns the StreamingQuery."""
+    from fast_duplicate_finder_spark.config import PipelineConfig
+
+    cfg = cfg or PipelineConfig()
+    state_dir = os.path.join(work_dir, "lsh_state")
+    pairs_dir = os.path.join(work_dir, "lsh_pairs")
+    ckpt = os.path.join(work_dir, "_lsh_stream_checkpoint")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(pairs_dir, exist_ok=True)
+    stream = stream_transcripts(spark, input_path, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, eid: _lsh_batch_fn(df, eid, state_dir, pairs_dir, cfg)
+    ).option("checkpointLocation", ckpt)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_lsh_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Every MinHash/LSH near-dup pair the stream has emitted (see
+    read_dup_log for the empty-log contract)."""
+    path = os.path.join(work_dir, "lsh_pairs", "data")
+    has_parts = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    if not has_parts:
+        return spark.createDataFrame([], LSH_PAIR_SCHEMA)
     return spark.read.parquet(path)

@@ -371,3 +371,129 @@ def test_incremental_simhash_replay_idempotent_and_partitioned(
     )
     assert state1 == state2
     assert pairs1 == pairs2
+
+
+def test_incremental_lsh_matches_batch(spark, tmp_path):
+    """Streamed MinHash/LSH pairs over two micro-batches equal the batch
+    operator's exact-Jaccard-verified pair set — including a near-dup pair
+    whose members arrive in DIFFERENT micro-batches (band-state join +
+    pruned wide-payload verify) and one within a single batch."""
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.operators.neardup import (
+        minhash_pairs,
+        shingle_features,
+    )
+    from fast_duplicate_finder_spark.sources.transcripts import (
+        assemble_conversations,
+    )
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        read_lsh_pair_log,
+        run_incremental_lsh,
+    )
+
+    cfg = PipelineConfig()
+
+    def fuzz(base_words, n_edits):
+        w = list(base_words)
+        for i in range(n_edits):
+            w[20 * i + 3] += "x"  # scattered single-token edits
+        return " ".join(w)
+
+    a = [f"tok{i}" for i in range(300)]
+    c = [f"c{i}" for i in range(300)]
+    batch1 = {"a1": " ".join(a), "c1": " ".join(c), "c2": fuzz(c, 8)}
+    batch2 = {"a2": fuzz(a, 8), "q1": " ".join(f"z{i}" for i in range(300))}
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    import os as _os
+
+    for i, docs in enumerate((batch1, batch2)):
+        spark.createDataFrame(
+            _one_turn_rows(docs), _TRANSCRIPT_SCHEMA
+        ).coalesce(1).write.parquet(str(tmp_path / f"b{i}"))
+        for f in _os.listdir(tmp_path / f"b{i}"):
+            if f.endswith(".parquet"):
+                _os.rename(tmp_path / f"b{i}" / f, in_dir / f"part{i}.parquet")
+
+    q = run_incremental_lsh(
+        spark, str(in_dir), str(tmp_path / "work"), cfg,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    log = read_lsh_pair_log(spark, str(tmp_path / "work"))
+    got = {
+        (r["conv_id_a"], r["conv_id_b"], round(r["jaccard"], 9))
+        for r in log.collect()
+        if r["conv_id_a"] != "_overflow"
+    }
+
+    all_rows = spark.createDataFrame(
+        _one_turn_rows({**batch1, **batch2}), _TRANSCRIPT_SCHEMA
+    )
+    feats = shingle_features(assemble_conversations(all_rows), cfg)
+    batch_pairs, overflow = minhash_pairs(feats, cfg)
+    expected = {
+        (r["conv_id_a"], r["conv_id_b"], round(r["jaccard"], 9))
+        for r in batch_pairs.collect()
+    }
+    assert overflow.count() == 0
+    keys = {(p[0], p[1]) for p in got}
+    assert ("a1", "a2") in keys       # cross-batch (state join + verify)
+    assert ("c1", "c2") in keys       # intra-batch
+    assert not any("q1" in p for p in keys)
+    assert got == expected            # exact jaccard values agree too
+
+
+def test_incremental_lsh_replay_idempotent_and_partitioned(spark, tmp_path):
+    """Replaying an epoch of the LSH stream leaves pair log, band state
+    and feature state byte-identical; both state tables land in their
+    documented (epoch_id, prefix) partitions."""
+    import os as _os
+
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _lsh_batch_fn,
+    )
+
+    cfg = PipelineConfig()
+    base = [f"w{i}" for i in range(300)]
+    edited = list(base)
+    for i in range(8):
+        edited[20 * i + 3] += "x"
+    b1 = spark.createDataFrame(
+        _one_turn_rows({"a1": " ".join(base)}), _TRANSCRIPT_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        _one_turn_rows({"a2": " ".join(edited)}), _TRANSCRIPT_SCHEMA
+    )
+    sd, pd_ = str(tmp_path / "lsh_state"), str(tmp_path / "lsh_pairs")
+    _lsh_batch_fn(b1, 0, sd, pd_, cfg)
+    _lsh_batch_fn(b2, 1, sd, pd_, cfg)
+
+    bands_path = _os.path.join(sd, "bands", "data")
+    feats_path = _os.path.join(sd, "feats", "data")
+    assert any(
+        d.startswith("bp=")
+        for d in _os.listdir(_os.path.join(bands_path, "epoch_id=0"))
+    )
+    assert any(
+        d.startswith("hp=")
+        for d in _os.listdir(_os.path.join(feats_path, "epoch_id=0"))
+    )
+
+    def snap():
+        return (
+            sorted(tuple(r) for r in spark.read.parquet(bands_path).collect()),
+            sorted(tuple(r) for r in spark.read.parquet(feats_path).collect()),
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(
+                    _os.path.join(pd_, "data")
+                ).collect()
+            ),
+        )
+
+    s1 = snap()
+    assert s1[2]  # the cross-epoch near-dup pair was emitted
+    _lsh_batch_fn(b2, 1, sd, pd_, cfg)  # at-least-once replay
+    assert snap() == s1
