@@ -138,3 +138,73 @@ def test_assembly_invariant_under_row_shuffle(spark, texts, seed):
     out = assemble_conversations(df).collect()
     assert len(out) == 1
     assert out[0]["doc"] == "\n".join(texts)
+
+
+# --- Arrow kernel batch-flattening invariance (hypothesis) -----------------
+
+
+@settings(deadline=None, max_examples=60,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_minhash_batch_equals_per_row(hash_lists):
+    """The flat-concat + reduceat batch kernel must be row-order- and
+    batch-boundary-invariant: signing each row ALONE gives identical
+    signatures (pins the starts/cumsum bookkeeping and the empty/None
+    sentinel handling)."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_duplicate_finder_spark.functions.minhash import (
+        minhash_batch,
+        perm_seeds,
+    )
+
+    seeds = perm_seeds(16, 42)
+    with np.errstate(over="ignore"):
+        whole = minhash_batch(pd.Series(hash_lists), seeds)
+        solo = [
+            minhash_batch(pd.Series([h]), seeds)[0] for h in hash_lists
+        ]
+    for w, s in zip(whole, solo):
+        assert list(w) == list(s)
+
+
+@settings(deadline=None, max_examples=60,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_simhash_batch_equals_per_row(hash_lists):
+    """Same invariance for the bit-vote kernel (pins the _ROW_CHUNK
+    splitting and reduceat segment bookkeeping)."""
+    import numpy as np
+    import pandas as pd
+
+    from fast_duplicate_finder_spark.functions.simhash import simhash_batch
+
+    with np.errstate(over="ignore"):
+        whole = simhash_batch(pd.Series(hash_lists))
+        solo = [simhash_batch(pd.Series([h]))[0] for h in hash_lists]
+    assert list(whole) == list(solo)
