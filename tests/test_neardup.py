@@ -6,7 +6,11 @@ from pyspark.sql import functions as F
 
 from fast_duplicate_finder_spark.config import PipelineConfig
 from fast_duplicate_finder_spark.corpus import generate_transcripts
-from fast_duplicate_finder_spark.functions.minhash import minhash_batch, perm_seeds
+from fast_duplicate_finder_spark.functions.minhash import (
+    estimate_jaccard,
+    minhash_batch,
+    perm_seeds,
+)
 from fast_duplicate_finder_spark.functions.shingles import word_shingles
 from fast_duplicate_finder_spark.operators.connected_components import (
     connected_components,
@@ -43,7 +47,7 @@ def test_minhash_estimates_jaccard():
     true_j = len(base & other) / len(base | other)
     with np.errstate(over="ignore"):
         sigs = minhash_batch(pd.Series([list(base), list(other)]), seeds)
-    est = float(np.mean(np.array(sigs[0]) == np.array(sigs[1])))
+    est = estimate_jaccard(sigs[0], sigs[1])
     assert abs(est - true_j) < 0.08
     # identical sets -> identical signatures
     with np.errstate(over="ignore"):
