@@ -854,6 +854,52 @@ SELECT da AS doc_id_a, db AS doc_id_b,
 FROM runs GROUP BY 1, 2"""
 
 
+def q_span_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the shared-span edge set — the iterative
+    min-label + pointer-jumping operator checked against a TRUE transitive
+    closure: the DuckDB oracle propagates labels with a recursive CTE
+    until fixpoint, so it would catch an under-merged component on ANY
+    edge set (connected_components_exact's star edges need no closure at
+    all). On this synthetic corpus the span components happen to be
+    cliques (verified: 112 pairs == sum of per-component C(n,2) at
+    sf0.01); genuinely multi-hop chains are pinned by
+    tests/test_neardup.py::test_connected_components_basic. Ids are
+    zero-padded so the operator's lexicographic min-label equals the
+    oracle's numeric min."""
+    from fast_duplicate_finder_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = q_span_exact_pairs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id_a").cast("string"), 9, "0").alias("conv_id_a"),
+        F.lpad(F.col("doc_id_b").cast("string"), 9, "0").alias("conv_id_b"),
+    )
+    return connected_components(pairs).select("conv_id", "component")
+
+
+ORACLE_SPAN_COMPONENTS = f"""WITH RECURSIVE {CORPUS_CTE},
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+ss AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_SPAN_TOKENS - 1}], ' ') AS ss
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_SPAN_TOKENS - 2})) AS i
+        FROM t WHERE len(ws) >= {_SPAN_TOKENS})),
+capped AS (
+  SELECT * FROM ss
+  QUALIFY count(*) OVER (PARTITION BY ss) BETWEEN 2 AND {CFG.max_band_bucket}),
+p AS (
+  SELECT lpad(a.doc_id::VARCHAR, 9, '0') AS a,
+         lpad(b.doc_id::VARCHAR, 9, '0') AS b
+  FROM capped a JOIN capped b ON a.ss = b.ss AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+nodes AS (SELECT a AS n FROM p UNION SELECT b AS n FROM p),
+edges AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+reach(n, label) AS (
+  SELECT n, n AS label FROM nodes
+  UNION
+  SELECT e.a AS n, r.label FROM edges e JOIN reach r ON e.b = r.n)
+SELECT n AS conv_id, min(label) AS component FROM reach GROUP BY n"""
+
+
 def q_connected_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact-dup star edges — the clustering
     operator with a transitive-closure-free oracle (exact groups ARE the
@@ -1152,6 +1198,7 @@ QUERIES = {
     "winnow_span_candidates": q_winnow_span_candidates,
     "span_exact_pairs": q_span_exact_pairs,
     "span_longest_run": q_span_longest_run,
+    "span_components": q_span_components,
     "connected_components_exact": q_connected_components_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -1176,6 +1223,7 @@ ORACLES = {
     "winnow_span_candidates": ORACLE_WINNOW,
     "span_exact_pairs": ORACLE_SPAN_EXACT,
     "span_longest_run": ORACLE_SPAN_LONGEST,
+    "span_components": ORACLE_SPAN_COMPONENTS,
     "connected_components_exact": ORACLE_CC,
     "token_stats": ORACLE_TOKEN_STATS,
     "quality_scores": ORACLE_QUALITY,
