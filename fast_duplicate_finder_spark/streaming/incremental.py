@@ -33,7 +33,10 @@ cascade incremental without reprocessing history:
   tables ((epoch_id, band prefix) / (epoch_id, conv-id prefix)); the
   verify read is pruned to the prefixes of exactly the state convs the
   surviving band candidates name, so the wide sets never ride the band
-  join and never scan in full.
+  join and only the named slice is read back when candidates are few —
+  the common incremental case. (Prefix pruning saturates at
+  N_STATE_PREFIXES partitions for very large batches; the band-state
+  join is the Iceberg MERGE / storage-partitioned-join seam at scale.)
 * ``sessionize`` — event-time session windows (``F.session_window``) with a
   watermark for late data. The same expression works on a batch DataFrame
   (all sessions emitted) and on a stream (sessions emitted as the watermark
