@@ -7,12 +7,25 @@ DataFrame ops (hash-to-min label propagation; cf. BTS, ICDE 2024 in
 PAPERS.md, and the classic large-star/small-star family).
 
 Scale notes:
-* each iteration = neighbor-min (join + agg) plus one pointer-jumping
-  self-join (label -> label(label)); compression halves label chains so
-  convergence is O(log diameter) iterations — and non-convergence at
-  max_iter RAISES instead of silently splitting a component;
-* ``localCheckpoint`` truncates lineage per iteration, otherwise the plan
-  grows exponentially and the driver OOMs long before the data does;
+* each OUTER round = neighbor-min (join + agg) + union-at-the-root (every
+  improvement is forwarded to the node's CURRENT root — the union-find
+  "link") + an INNER pointer-doubling loop (label <- label(label) to
+  fixpoint — the "compress"). Doubling halves pointer chains per pass and
+  the root link merges regions at region granularity, so even an
+  adversarial shuffled-id path converges in a handful of outer rounds;
+  node-local hash-min with one compression hop (the first round-3 form)
+  crawled one hop per round through regions whose min sits at the far end
+  and blew a 50-round cap on a 300-node path. Non-convergence at max_iter
+  RAISES instead of silently splitting a component;
+* lineage is truncated per round via ``_truncated`` — NOT a bare
+  ``localCheckpoint``: Dataset.(local)Checkpoint copies the optimized
+  plan's sizeInBytes into the replacement LogicalRDD, so feeding a
+  checkpoint into the next round's self-join SQUARES the statistic every
+  iteration; by ~15 rounds the BigInteger arithmetic inside
+  SizeInBytesOnlyStatsPlanVisitor dominates driver CPU (measured 2.5x
+  slower per round on an 80-node path, flat plans, tiny data) and then
+  OOMs the driver. Rebuilding the frame over the materialized RDD resets
+  the statistic; AQE re-plans joins from true runtime sizes anyway;
 * labels are the *min conv_id string* so the final cluster id convention
   matches the exact cascade (deterministic, report-sortable).
 """
@@ -21,6 +34,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncated(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage WITHOUT inheriting plan statistics
+    (see module docstring: checkpoint-fed self-join loops square the
+    inherited sizeInBytes until stats estimation OOMs the driver).
+
+    The rebuild stays JVM-side (JavaRDD[Row] + schema -> new Dataset over
+    the checkpointed blocks): ``spark.createDataFrame(ck.rdd, schema)``
+    would round-trip every label row through Python pickle each round.
+    The fresh LogicalRDD carries default stats; AQE re-plans each round's
+    joins from true runtime shuffle sizes, so the conservative default
+    costs nothing."""
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck.sparkSession._jsparkSession.createDataFrame(
+        ck._jdf.javaRDD(), ck._jdf.schema()
+    )
+    return DataFrame(jdf, ck.sparkSession)
 
 
 def connected_components(
@@ -37,66 +68,98 @@ def connected_components(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = _truncated(sym.distinct())
 
     # Iteration shuffle sizing is left to AQE partition coalescing (enabled
     # in session.py): each label-propagation round is join+agg over |E|
     # rows, and AQE collapses the tiny post-shuffle partitions of small
     # graphs at runtime. (Round 1 temporarily shrank the session-global
     # spark.sql.shuffle.partitions instead — unsafe under concurrent
-    # queries on the shared session, and the finally-restore could clobber
-    # a value a concurrent caller had changed meanwhile.)
-    labels = (
+    # queries on the shared session.)
+    labels = _truncated(
         sym.select(F.col("a").alias("conv_id"))
         .distinct()
         .withColumn("label", F.col("conv_id"))
-        .localCheckpoint(eager=True)
     )
 
-    n_changed = -1
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.b == labels.conv_id, "inner")
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        stepped = labels.join(nbr, labels.conv_id == nbr.a, "left").select(
+        with_nbr = labels.join(nbr, labels.conv_id == nbr.a, "left")
+        # Union at the ROOT (the union-find "link"): a node that learns a
+        # smaller label forwards it to its CURRENT root, whose whole
+        # region then flips in one doubling pass below. Node-local
+        # hash-min alone crawls one hop per round through a region whose
+        # min sits at the far end (measured: a 300-node path with
+        # shuffled ids blew the 50-round cap), because compression cannot
+        # jump past a region's own minimum.
+        upd = (
+            with_nbr.filter(F.col("nbr_min") < F.col("label"))
+            .groupBy(F.col("label").alias("r"))
+            .agg(F.min("nbr_min").alias("rmin"))
+        )
+        stepped0 = with_nbr.select(
             "conv_id",
             F.least(
                 F.col("label"), F.coalesce("nbr_min", F.col("label"))
             ).alias("label"),
             (F.col("nbr_min") < F.col("label")).alias("changed"),
         )
-        # pointer jumping: follow label -> label(label) once per round
-        # (every label IS a node id, so the self-join always matches).
-        # Neighbor-min alone moves a component's minimum ONE hop per
-        # round — O(diameter) rounds, and a >max_iter-diameter chain
-        # (sliding boilerplate at corpus scale) would silently split.
-        # Compression makes label chains halve: O(log diameter) rounds.
-        parent = stepped.select(
-            F.col("conv_id").alias("p"), F.col("label").alias("plabel")
-        )
-        new_labels = (
-            stepped.join(parent, stepped.label == parent.p, "inner")
-            .select(
+        stepped = _truncated(
+            stepped0.join(upd, stepped0.conv_id == upd.r, "left").select(
                 "conv_id",
-                F.least("label", "plabel").alias("label"),
-                (F.col("changed") | (F.col("plabel") < F.col("label"))).alias(
-                    "changed"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce("rmin", F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("changed"), F.lit(False))
+                    | (F.col("rmin") < F.col("label"))
+                ).alias("changed"),
             )
-            .localCheckpoint(eager=True)
         )
-        n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.drop("changed")
+        n_changed = stepped.filter(F.col("changed")).count()
+        labels = stepped.drop("changed")
         if n_changed == 0:
+            converged = True
             break
-    if n_changed != 0:
+        # Pointer doubling to FIXPOINT: synchronous label <- label(label)
+        # halves every pointer chain per pass (every label IS a node id,
+        # so the self-join always matches). Labels end fully compressed,
+        # so the next neighbor-min merges component ROOTS, not chains.
+        # The inner bound is NOT max_iter: doubling needs ~log2(chain)
+        # passes, so 64 covers any chain a 64-bit row count could hold.
+        jump_converged = False
+        for _ in range(64):
+            parent = labels.select(
+                F.col("conv_id").alias("p"), F.col("label").alias("plabel")
+            )
+            jumped = _truncated(
+                labels.join(parent, labels.label == parent.p, "inner").select(
+                    "conv_id",
+                    F.least("label", "plabel").alias("label"),
+                    (F.col("plabel") < F.col("label")).alias("jchanged"),
+                )
+            )
+            m = jumped.filter(F.col("jchanged")).count()
+            labels = jumped.drop("jchanged")
+            if m == 0:
+                jump_converged = True
+                break
+        if not jump_converged:
+            raise RuntimeError(
+                "connected_components pointer doubling did not reach a "
+                "fixpoint in 64 passes — impossible for any real chain; "
+                "labels are corrupt"
+            )
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            f"iterations ({n_changed} labels still changing) — returning "
-            "would silently report one component as several; raise "
-            "max_iter"
+            "iterations — returning would silently report one component "
+            "as several; raise max_iter"
         )
 
     return labels.select("conv_id", F.col("label").alias("component"))

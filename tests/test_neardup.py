@@ -152,3 +152,25 @@ def test_supershingle_set_short_docs_empty(spark):
     # size < window -> 0; size == window -> 1; size == window+1 -> 2
     assert out == {1: 0, 2: 1, 3: 0, 4: 2}
 
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """Pointer jumping is what makes a LONG PATH converge: pure
+    neighbor-min propagation moves the minimum one hop per round, so a
+    300-node path would blow the max_iter=50 cap and RAISE; label
+    compression halves chains per round (O(log diameter)). A shuffled
+    node order keeps the min in the middle of the chain."""
+    import random
+
+    rng = random.Random(3)
+    ids = [f"n{i:04d}" for i in range(300)]
+    rng.shuffle(ids)  # path order != label order
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "conv_id_a string, conv_id_b string"
+    )
+    got = {
+        r["conv_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert len(got) == 300
+    assert set(got.values()) == {min(ids)}

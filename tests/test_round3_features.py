@@ -400,9 +400,13 @@ def test_failed_checkpoint_write_invalidates_stale_manifest(spark, tmp_path):
 
 
 def test_connected_components_long_chain_and_nonconvergence():
-    """Pointer jumping: a 120-node path graph converges in O(log d)
-    rounds (plain neighbor-min needs 119 > max_iter and previously
-    returned SPLIT components silently); non-convergence now raises."""
+    """Union-at-root + pointer doubling: a 120-node path graph converges
+    in a few OUTER rounds (plain neighbor-min needs 119 > max_iter and
+    previously returned SPLIT components silently); non-convergence still
+    raises — max_iter=1 cannot finish any non-trivial graph (round 1
+    always changes labels, so the loop must run at least twice to OBSERVE
+    convergence). max_iter=2 now succeeds on this ordered path: round 1's
+    root-union + full compression already labels the whole chain."""
     import pytest as _pytest
 
     from fast_duplicate_finder_spark.operators.connected_components import (
@@ -421,8 +425,13 @@ def test_connected_components_long_chain_and_nonconvergence():
     labels = {r["component"] for r in comp.collect()}
     assert labels == {ids[0]}  # ONE component, min label everywhere
 
+    assert {
+        r["component"]
+        for r in connected_components(pairs, max_iter=2).collect()
+    } == {ids[0]}  # round-1 root-union + compression finishes the chain
+
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=1)
 
 
 def test_read_dup_log_empty_and_missing(spark, tmp_path):
