@@ -50,7 +50,10 @@ class PipelineConfig:
     band_salt_buckets: int = 8           # salting for hot LSH bands
     max_band_bucket: int = 2000          # cap pairs per (band,hash) bucket;
                                          # overflow counted, not silent
-    shuffle_partitions: int = 32
+    # NOTE: shuffle parallelism is a SESSION concern (session.get_spark /
+    # spark-submit --conf), not a pipeline parameter: it neither changes
+    # results nor belongs in the checkpoint fingerprint (a dead knob here
+    # used to invalidate every checkpoint when touched — round-3 VERDICT).
 
     # --- group (folder-analogue) dedup ---------------------------------------
     group_sep: str = "/"                 # conv_id path separator

@@ -17,6 +17,9 @@ Scale notes:
   crawled one hop per round through regions whose min sits at the far end
   and blew a 50-round cap on a 300-node path. Non-convergence at max_iter
   RAISES instead of silently splitting a component;
+* ONE Spark action per round step: convergence counts ride the checkpoint
+  materialization as ``Observation`` metrics (``_truncated_counted``) —
+  no separate ``filter(changed).count()`` job per round/pass;
 * lineage is truncated per round via ``_truncated`` — NOT a bare
   ``localCheckpoint``: Dataset.(local)Checkpoint copies the optimized
   plan's sizeInBytes into the replacement LogicalRDD, so feeding a
@@ -32,7 +35,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -46,12 +49,38 @@ def _truncated(df: DataFrame) -> DataFrame:
     would round-trip every label row through Python pickle each round.
     The fresh LogicalRDD carries default stats; AQE re-plans each round's
     joins from true runtime shuffle sizes, so the conservative default
-    costs nothing."""
+    costs nothing.
+
+    The JVM handles (``_jsparkSession`` / ``_jdf``) are classic-PySpark
+    only; under Spark Connect there is no in-process JVM, so fall back to
+    the plain local checkpoint and accept the inherited-stats cost (bounded
+    there: Connect's planner runs server-side with its own lifecycle)."""
     ck = df.localCheckpoint(eager=True)
-    jdf = ck.sparkSession._jsparkSession.createDataFrame(
-        ck._jdf.javaRDD(), ck._jdf.schema()
-    )
+    try:
+        jdf = ck.sparkSession._jsparkSession.createDataFrame(
+            ck._jdf.javaRDD(), ck._jdf.schema()
+        )
+    except AttributeError:  # Spark Connect: no _jsparkSession/_jdf
+        return ck
     return DataFrame(jdf, ck.sparkSession)
+
+
+def _truncated_counted(df: DataFrame, flag_col: str) -> tuple[DataFrame, int]:
+    """One-action round step: checkpoint ``df`` minus ``flag_col`` AND
+    deliver ``count_if(flag_col)`` from that SAME materialization.
+
+    ``Observation`` metrics are collected by the action inside
+    ``localCheckpoint(eager=True)`` (Dataset.checkpoint runs under
+    withAction), so change-detection costs zero extra jobs — the previous
+    form ran a separate ``filter(changed).count()`` job per outer round and
+    per doubling pass: ~2-8 jobs of pure fixed cost per round at 100 TB.
+    The flag column is dropped ABOVE the observe, so it never reaches the
+    checkpointed blocks but is still visible to the metric."""
+    obs = Observation()
+    out = _truncated(
+        df.observe(obs, F.count_if(F.col(flag_col)).alias("n")).drop(flag_col)
+    )
+    return out, int(obs.get["n"])
 
 
 def connected_components(
@@ -109,7 +138,7 @@ def connected_components(
             ).alias("label"),
             (F.col("nbr_min") < F.col("label")).alias("changed"),
         )
-        stepped = _truncated(
+        labels, n_changed = _truncated_counted(
             stepped0.join(upd, stepped0.conv_id == upd.r, "left").select(
                 "conv_id",
                 F.least(
@@ -119,10 +148,9 @@ def connected_components(
                     F.coalesce(F.col("changed"), F.lit(False))
                     | (F.col("rmin") < F.col("label"))
                 ).alias("changed"),
-            )
+            ),
+            "changed",
         )
-        n_changed = stepped.filter(F.col("changed")).count()
-        labels = stepped.drop("changed")
         if n_changed == 0:
             converged = True
             break
@@ -137,15 +165,14 @@ def connected_components(
             parent = labels.select(
                 F.col("conv_id").alias("p"), F.col("label").alias("plabel")
             )
-            jumped = _truncated(
+            labels, m = _truncated_counted(
                 labels.join(parent, labels.label == parent.p, "inner").select(
                     "conv_id",
                     F.least("label", "plabel").alias("label"),
                     (F.col("plabel") < F.col("label")).alias("jchanged"),
-                )
+                ),
+                "jchanged",
             )
-            m = jumped.filter(F.col("jchanged")).count()
-            labels = jumped.drop("jchanged")
             if m == 0:
                 jump_converged = True
                 break

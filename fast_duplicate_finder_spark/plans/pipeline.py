@@ -92,6 +92,7 @@ def run_pipeline(
     from fast_duplicate_finder_spark.plans.progress import (
         CancelToken,
         ProgressReporter,
+        StageProgressPoller,
     )
 
     progress = progress or ProgressReporter(logger=get_logger())
@@ -110,9 +111,16 @@ def run_pipeline(
         counter["i"] += 1
         cancel.enter_phase(phase)
         progress.phase_start(phase, counter["i"], n_phases)
-        out = store.get_or_compute(
-            phase, compute, lineage, resume, **write_kwargs
-        )
+        # within-phase interpolation: enter_phase tagged this phase's jobs
+        # with a job group; the poller turns their task completion into
+        # fractional progress events (reference phase_2.go:54 parity)
+        with StageProgressPoller(
+            spark, progress, phase, counter["i"], n_phases,
+            interval=progress.poll_interval,
+        ):
+            out = store.get_or_compute(
+                phase, compute, lineage, resume, **write_kwargs
+            )
         progress.phase_done(
             phase, counter["i"], n_phases,
             store.metrics[-1] if store.metrics else {},
@@ -227,11 +235,15 @@ def run_pipeline(
 
                 t0 = _time.perf_counter()
                 leg_pairs, leg_ovf = fn()
-                out = store.write(
-                    leg_pairs, pairs_phase, lineage=["p6_features"]
-                )
-                leg_metric = store.metrics[-1]  # the pairs-table metric
-                store.write(leg_ovf, ovf_phase, lineage=["p6_features"])
+                with StageProgressPoller(
+                    spark, progress, pairs_phase, counter["i"], n_phases,
+                    interval=progress.poll_interval,
+                ):
+                    out = store.write(
+                        leg_pairs, pairs_phase, lineage=["p6_features"]
+                    )
+                    leg_metric = store.metrics[-1]  # the pairs-table metric
+                    store.write(leg_ovf, ovf_phase, lineage=["p6_features"])
                 leg_metric["seconds"] = round(_time.perf_counter() - t0, 2)
             progress.phase_done(
                 pairs_phase, counter["i"], n_phases, leg_metric

@@ -15,6 +15,15 @@ The reference threads a cancellable context through every phase
   rows, seconds, resumed). Subscribers are driver-side listeners (a CLI
   printer, a metrics pusher); events are also retained on the reporter for
   post-hoc inspection, superseding round 1's write-only metrics rows.
+* ``StageProgressPoller`` — WITHIN-phase fractional progress (the reference
+  interpolates inside long phases: phase_2.go:54, phase_3.go:61 emit
+  ``processed/total`` percentages mid-phase). Spark's analogue of
+  "groups processed" is task completion: a daemon thread polls
+  ``sc.statusTracker()`` for the phase's job group (``CancelToken.
+  enter_phase`` already tags every phase's jobs) and emits ``status=
+  "progress"`` events with ``within_phase_percent`` whenever the completed
+  /total task fraction moves ≥1 point. Pure driver-side metadata reads —
+  zero executor work, zero extra Spark jobs.
 """
 
 from __future__ import annotations
@@ -71,12 +80,16 @@ class ProgressReporter:
     plans.logging.RingLogger that phase lifecycle lines are mirrored into
     (the C7 log surface)."""
 
-    def __init__(self, max_events: int = 1000, logger=None):
+    def __init__(
+        self, max_events: int = 1000, logger=None, poll_interval: float = 0.5
+    ):
         from collections import deque
 
         self.callbacks: list = []
         self._events: deque[dict] = deque(maxlen=max_events)
         self.logger = logger
+        # within-phase StageProgressPoller cadence (run_pipeline reads it)
+        self.poll_interval = poll_interval
 
     @property
     def events(self) -> list[dict]:
@@ -109,6 +122,24 @@ class ProgressReporter:
             }
         )
 
+    def phase_progress(
+        self, phase: str, index: int, total: int, fraction: float
+    ) -> None:
+        """Within-phase interpolation: overall percent sweeps the phase's
+        own 1/total slice as ``fraction`` goes 0→1 (reference
+        status.go:55-81 + phase_2.go:54 semantics)."""
+        fraction = min(max(fraction, 0.0), 1.0)
+        self._emit(
+            {
+                "phase": phase,
+                "status": "progress",
+                "index": index,
+                "total": total,
+                "percent": round(100.0 * (index - 1 + fraction) / total, 1),
+                "within_phase_percent": round(100.0 * fraction, 1),
+            }
+        )
+
     def phase_done(self, phase: str, index: int, total: int, metric: dict
                    ) -> None:
         from fast_duplicate_finder_spark.functions.format import format_elapsed
@@ -126,3 +157,80 @@ class ProgressReporter:
                 "elapsed": format_elapsed(secs) if secs is not None else None,
             }
         )
+
+
+class StageProgressPoller:
+    """Daemon thread translating the phase's task-completion fraction into
+    ``ProgressReporter.phase_progress`` events (module docstring). Use as a
+    context manager around the phase's compute; ``interval`` trades event
+    latency against (driver-local) polling cost — the status tracker is an
+    in-memory listener snapshot, so even 10 Hz is negligible.
+
+    The fraction is completed/total tasks over all jobs SUBMITTED SO FAR in
+    the phase's job group — the same moving-denominator interpolation the
+    reference uses when a phase's group count grows as it scans
+    (phase_2.go:54): monotone within a job, may step back when a new job
+    joins the denominator; phase_done's 100% supersedes it either way."""
+
+    def __init__(
+        self,
+        spark,
+        reporter: ProgressReporter,
+        phase: str,
+        index: int,
+        total: int,
+        interval: float = 0.5,
+    ):
+        self._tracker = spark.sparkContext.statusTracker()
+        self._reporter = reporter
+        self._phase = phase
+        self._index = index
+        self._total = total
+        self._interval = interval
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _fraction(self) -> float | None:
+        total_tasks = done_tasks = 0
+        try:
+            job_ids = self._tracker.getJobIdsForGroup(self._phase)
+            for jid in job_ids:
+                info = self._tracker.getJobInfo(jid)
+                if info is None:
+                    continue
+                for sid in info.stageIds:
+                    st = self._tracker.getStageInfo(sid)
+                    if st is None:
+                        continue
+                    total_tasks += st.numTasks
+                    done_tasks += st.numCompletedTasks
+        except Exception:  # noqa: BLE001 — racing a stopping SparkContext
+            return None
+        if total_tasks <= 0:
+            return None
+        return done_tasks / total_tasks
+
+    def _run(self) -> None:
+        last = -1.0
+        while not self._stop.wait(self._interval):
+            frac = self._fraction()
+            # endpoints are phase_start/phase_done's job, not the poller's
+            if frac is None or frac >= 1.0 or frac <= 0.0:
+                continue
+            if abs(frac - last) >= 0.01:
+                last = frac
+                self._reporter.phase_progress(
+                    self._phase, self._index, self._total, frac
+                )
+
+    def __enter__(self) -> "StageProgressPoller":
+        self._thread = threading.Thread(
+            target=self._run, name=f"fdf-progress-{self._phase}", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

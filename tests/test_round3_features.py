@@ -61,10 +61,15 @@ def test_progress_events_bounded_and_mirrored_to_logger(spark, tmp_path):
         spark, df, CFG, str(tmp_path / "c"), with_groups=False,
         with_near_dup=False, progress=progress,
     )
-    # 6 phases x (start+done) = 12 events emitted; history keeps last 4
+    # 6 phases x (start+done) = 12 lifecycle events emitted (round 4 adds
+    # status='progress' interpolation events on top); history keeps last 4
     assert len(progress.events) == 4
     assert progress.events[-1]["percent"] == 100.0
-    phase_lines = [e for e in log.get_logs() if e.get("context") == "pipeline"]
+    phase_lines = [
+        e for e in log.get_logs()
+        if e.get("context") == "pipeline"
+        and e["data"]["status"] in ("start", "done", "resumed")
+    ]
     assert len(phase_lines) == 12  # logger saw every event (its own bound)
     assert get_logger() is get_logger()  # process singleton
 

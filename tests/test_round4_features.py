@@ -1,0 +1,130 @@
+"""Round-4 items: CC single-action rounds (VERDICT #5), within-phase
+progress interpolation (VERDICT #7, reference phase_2.go:54 /
+status.go:55-81), and the PipelineConfig.shuffle_partitions knob removal
+(VERDICT #2)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fast_duplicate_finder_spark.operators.connected_components import (
+    connected_components,
+)
+from fast_duplicate_finder_spark.plans.progress import (
+    ProgressReporter,
+    StageProgressPoller,
+)
+
+
+def test_cc_change_detection_rides_the_checkpoint(spark, monkeypatch):
+    """VERDICT round-3 #5: convergence counts must come from the SAME
+    action that materializes each round (Observation metrics on the
+    localCheckpoint), not separate filter(changed).count() jobs — at 100 TB
+    those were 2-8 extra full-stage jobs per round of pure fixed cost.
+    Pin: ZERO DataFrame.count calls during a multi-round CC run (the
+    300-node shuffled path needs several outer rounds + doubling passes),
+    with output identical to the single-component truth."""
+    rng = random.Random(7)
+    ids = [f"n{i:04d}" for i in range(300)]
+    rng.shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)],
+        "conv_id_a string, conv_id_b string",
+    )
+
+    calls = {"count": 0}
+    orig_count = DataFrame.count
+
+    def counting(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    comp = connected_components(pairs, max_iter=15)
+    rows = comp.collect()
+    assert calls["count"] == 0, (
+        f"{calls['count']} separate count() actions during CC — change "
+        "detection must ride the checkpoint materialization"
+    )
+    assert len(rows) == 300
+    assert {r["component"] for r in rows} == {min(ids)}
+
+
+def test_stage_progress_poller_emits_fractional_percent(spark):
+    """Deterministic poller pin: a 2-wave job (8 tasks x 1 s on 4 cores)
+    under a tagged job group must yield at least one status='progress'
+    event with 0 < within_phase_percent < 100, and overall percent inside
+    the phase's slice. (Waves are 1 s because the status store publishes
+    task completions with a few-hundred-ms listener throttle.)"""
+    sc = spark.sparkContext
+
+    def slow(batches):
+        import time
+
+        for pdf in batches:
+            time.sleep(1.0)
+            yield pdf
+
+    # warm the Python workers so wave timing is the sleep, not worker spawn
+    spark.range(0, 8, 1, 8).mapInPandas(lambda it: it, "id long").count()
+    df = spark.range(0, 8, 1, 8).mapInPandas(slow, "id long")
+    reporter = ProgressReporter()
+    sc.setJobGroup("r4_unit_phase", "poller test")
+    try:
+        with StageProgressPoller(
+            spark, reporter, "r4_unit_phase", 2, 4, interval=0.05
+        ):
+            assert df.count() == 8
+    finally:
+        sc.setJobGroup("", "")
+    prog = [e for e in reporter.events if e["status"] == "progress"]
+    assert prog, "no within-phase progress events for a 2-wave job"
+    for e in prog:
+        assert 0 < e["within_phase_percent"] < 100
+        # phase 2 of 4 sweeps the (25%, 50%) overall slice
+        assert 25.0 < e["percent"] < 50.0
+
+
+def test_pipeline_emits_within_phase_progress(spark, tmp_path):
+    """Wiring pin (VERDICT #7 done-bar): run_pipeline surfaces fractional
+    within-phase events for the long phases (p6/p7 legs on a real corpus;
+    at sf0.1 they run for many seconds — here a generated corpus + a fast
+    poll interval stands in)."""
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.corpus import generate_transcripts
+    from fast_duplicate_finder_spark.plans.pipeline import run_pipeline
+
+    df = generate_transcripts(spark, n_convs=1500, seed=11)
+    reporter = ProgressReporter(poll_interval=0.02)
+    run_pipeline(
+        spark, df, PipelineConfig(), str(tmp_path / "ckpt"), resume=False,
+        progress=reporter,
+    )
+    prog = [e for e in reporter.events if e["status"] == "progress"]
+    assert prog, "pipeline produced no within-phase progress events"
+    assert all(0 < e["within_phase_percent"] < 100 for e in prog)
+    long_phases = {
+        e["phase"]
+        for e in prog
+        if e["phase"].startswith(("p6", "p7", "p1", "p2", "p3", "p8"))
+    }
+    assert long_phases, f"progress only on {sorted({e['phase'] for e in prog})}"
+
+
+def test_shuffle_partitions_not_a_pipeline_parameter():
+    """VERDICT round-3 #2: the dead knob is gone from the dataclass AND the
+    fingerprint (it invalidated every checkpoint while changing nothing).
+    Shuffle parallelism belongs to session.get_spark / spark-submit."""
+    from dataclasses import fields
+
+    from fast_duplicate_finder_spark.config import PipelineConfig
+
+    assert "shuffle_partitions" not in {
+        f.name for f in fields(PipelineConfig)
+    }
+    with pytest.raises(TypeError):
+        PipelineConfig(shuffle_partitions=64)
