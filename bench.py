@@ -93,17 +93,14 @@ def run_headline() -> None:
     # back-to-back suites on this shared host were measured 67.7 s vs
     # 42.8 s — min-per-query estimates the plan's capability, not the
     # noisy neighbor's. Row counts are asserted identical across passes.
-    per_query: dict[str, float] = {}
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows_seen: dict[str, int] = {}
     for pass_i in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
             n = QUERIES[name](spark, SF_DIR).count()
             dt = time.perf_counter() - t0
-            prev = per_query.get(name)
-            per_query[name] = round(
-                dt if prev is None else min(dt, prev), 3
-            )
+            passes[name].append(round(dt, 3))
             if name in rows_seen and rows_seen[name] != n:
                 raise AssertionError(
                     f"{name}: non-deterministic rows across passes "
@@ -114,6 +111,10 @@ def run_headline() -> None:
                 f"# pass{pass_i} {name}: {dt:.2f}s ({n} rows)",
                 file=sys.stderr,
             )
+    # `queries` stays {name: best} (the driver contract); `passes` carries
+    # every raw pass so cross-round comparisons can separate plan change
+    # from host noise without consulting prose (round-3 VERDICT #8)
+    per_query = {name: min(ts) for name, ts in passes.items()}
     total = sum(per_query.values())
     turns = _count_turns(spark, SF_DIR)
     spark.stop()
@@ -124,7 +125,9 @@ def run_headline() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "runs_per_query": 2,
+                "aggregation": "best-of-passes per query",
                 "queries": per_query,
+                "passes": passes,
                 "sf": _sf_of(SF_DIR),
                 "corpus_turns": turns,
                 "turns_per_sec": round(turns / total, 1) if total else None,

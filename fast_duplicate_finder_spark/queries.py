@@ -227,14 +227,20 @@ FROM asm GROUP BY doc HAVING count(*) >= 2"""
 def q_group_signature_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase-4 analogue on the source column: canonical sorted content
     signature per source; sources sharing a signature are duplicate groups
-    (calculate_folder_signature.go:46-64's sort+join canonicalization)."""
+    (calculate_folder_signature.go:46-64's sort+join canonicalization).
+
+    The per-source aggregate collects fixed-width PER-TEXT HASHES, never
+    the texts themselves — a mega-source (millions of docs) costs the
+    aggregating executor 32 bytes/doc, not the corpus (the pipeline path
+    does the same with its narrow ``F:<name>:<hash>`` items,
+    operators/group_dedup.py)."""
     d = _load(spark, sf_dir, "documents").select("source", "text")
     dup = d.filter(F.col("source").isin("src0", "src1")).select(
         F.concat(F.lit("dup_"), F.col("source")).alias("source"), "text"
     )
     g = d.unionAll(dup).groupBy("source").agg(
         F.xxhash64(
-            F.concat_ws(";", F.sort_array(F.collect_list("text")))
+            F.concat_ws(";", F.sort_array(F.collect_list(F.md5("text"))))
         ).alias("_sig")
     )
     w = Window.partitionBy("_sig")
@@ -250,7 +256,7 @@ ORACLE_GROUP_SIG = """WITH s AS (
   SELECT source, text FROM documents
   UNION ALL SELECT 'dup_' || source, text FROM documents WHERE source IN ('src0','src1')
 ),
-g AS (SELECT source, string_agg(text, ';' ORDER BY text) AS sig FROM s GROUP BY source)
+g AS (SELECT source, string_agg(md5(text), ';' ORDER BY md5(text)) AS sig FROM s GROUP BY source)
 SELECT g.source AS source, m.cluster_id AS cluster_id, m.n AS n_groups
 FROM g JOIN (
   SELECT sig, min(source) AS cluster_id, count(*)::BIGINT AS n
@@ -754,9 +760,15 @@ FROM capped a JOIN capped b ON a.ss = b.ss AND a.doc_id < b.doc_id
 GROUP BY 1, 2"""
 
 
-def _span_longest_runs(c: DataFrame) -> DataFrame:
+def _span_longest_runs(
+    c: DataFrame, with_overflow: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Core of q_span_longest_run over a (doc_id, text) DataFrame —
-    factored out so tests can feed hand-planted repetition cases."""
+    factored out so tests can feed hand-planted repetition cases.
+
+    ``with_overflow=True`` additionally returns the counted overflow table
+    (doc_id, ss, occurrences) of WITHIN-DOC repetition groups dropped by
+    the occurrence cap below."""
     W = _SPAN_TOKENS
     toks = c.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
@@ -765,14 +777,31 @@ def _span_longest_runs(c: DataFrame) -> DataFrame:
         Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.currentRow, W - 1)
     )
-    sp = (
+    sp0 = (
         toks.withColumn("arr", F.collect_list("w").over(w_frame))
         .filter(F.size("arr") == W)
         .select(
             "doc_id", "pos", F.xxhash64(F.array_join("arr", " ")).alias("ss")
         )
-        .localCheckpoint(eager=True)  # feeds the bucket window AND both
-    )                                 # self-join sides
+        .localCheckpoint(eager=True)  # feeds the occ window, the bucket
+    )                                 # window AND both self-join sides
+    # Positional matches are occ_a x occ_b per repeated window value
+    # WITHIN a pair, so a degenerate doc (one token repeated 10^5 times =
+    # one window value at ~10^5 positions) would alone emit ~10^10 match
+    # rows. Cap occurrences per (doc, window value) at max_band_bucket —
+    # capped, counted, never silent, like every other candidate leg; for
+    # a dropped group the reported run is a lower bound (the pair itself
+    # survives via its sub-cap window values, if any).
+    occ_w = Window.partitionBy("doc_id", "ss")
+    sp_occ = sp0.withColumn("occurrences", F.count("*").over(occ_w))
+    overflow = (
+        sp_occ.filter(F.col("occurrences") > CFG.max_band_bucket)
+        .groupBy("doc_id", "ss")
+        .agg(F.max("occurrences").alias("occurrences"))
+    )
+    sp = sp_occ.filter(
+        F.col("occurrences") <= CFG.max_band_bucket
+    ).drop("occurrences")
     # Same skew rule as span_exact_pairs, counted over DISTINCT docs per
     # window value (a window repeated WITHIN one doc must not trip the
     # boilerplate cap).
@@ -807,9 +836,10 @@ def _span_longest_runs(c: DataFrame) -> DataFrame:
         .groupBy("doc_id_a", "doc_id_b", "diag", "grp")
         .agg(F.count("*").alias("run"))
     )
-    return runs.groupBy("doc_id_a", "doc_id_b").agg(
+    out = runs.groupBy("doc_id_a", "doc_id_b").agg(
         (F.max("run") + W - 1).cast("long").alias("longest_run_tokens")
     )
+    return (out, overflow) if with_overflow else out
 
 
 def q_span_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,19 +853,25 @@ def q_span_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitive spans (distinct undercounts) and multiple disjoint spans
     (distinct sums them). Pair membership is identical to
     span_exact_pairs (same >= 1 shared window rule, same doc-level
-    boilerplate cap). Cost over the distinct form: positional rows join
-    occ_a x occ_b per repeated window value within a pair — bounded by
-    within-doc repetition, the quantity the run length measures anyway.
+    boilerplate cap, modulo the within-doc occurrence cap below). Cost
+    over the distinct form: positional rows join occ_a x occ_b per
+    repeated window value within a pair — within-doc occurrences are
+    capped at max_band_bucket with a counted overflow
+    (``_span_longest_runs(..., with_overflow=True)``), so a degenerate
+    one-token-repeated doc cannot detonate the join.
     """
     return _span_longest_runs(dup_corpus(spark, sf_dir))
 
 
 ORACLE_SPAN_LONGEST = f"""WITH {CORPUS_CTE},
 t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
-sp AS (
+sp_raw AS (
   SELECT doc_id, i AS pos, array_to_string(ws[i:i+{_SPAN_TOKENS - 1}], ' ') AS ss
   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_SPAN_TOKENS - 2})) AS i
         FROM t WHERE len(ws) >= {_SPAN_TOKENS})),
+sp AS (
+  SELECT doc_id, pos, ss FROM sp_raw
+  QUALIFY count(*) OVER (PARTITION BY doc_id, ss) <= {CFG.max_band_bucket}),
 keep AS (
   SELECT ss FROM (SELECT DISTINCT doc_id, ss FROM sp)
   GROUP BY ss HAVING count(*) BETWEEN 2 AND {CFG.max_band_bucket}),

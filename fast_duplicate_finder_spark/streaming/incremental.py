@@ -80,6 +80,20 @@ N_STATE_PREFIXES = 64  # hash-prefix partitions of the state table
 LEGACY_EPOCH = -1  # reserved epoch for state migrated from the old layout
 
 
+def _has_parts(path: str) -> bool:
+    """True when ``path`` holds at least one parquet part file. The
+    existence of the DIRECTORY is not enough: a batch whose write produced
+    zero rows leaves _SUCCESS (and, for partitioned writes, nothing else),
+    and ``spark.read.parquet`` then fails schema inference forever — the
+    same hazard the dup-log readers guard against (read_dup_log), applied
+    to every state table."""
+    return any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+
+
 def _migrate_legacy_state(spark: SparkSession, state_data: str) -> None:
     """One-time upgrade of a pre-(epoch_id, hp) state table.
 
@@ -89,23 +103,53 @@ def _migrate_legacy_state(spark: SparkSession, state_data: str) -> None:
     upgraded stream (losing the seen-hash history if the operator's only
     recourse is deleting the dir). Rewrite once into the partitioned
     layout under reserved epoch -1 — which every batch reads (it only
-    excludes its OWN epoch)."""
+    excludes its OWN epoch).
+
+    CRASH-SAFE ordering (a migration that can lose the whole seen-hash
+    state silently re-registers every known hash as a first): the old
+    state is renamed ASIDE (atomic), the completed rewrite renamed INTO
+    PLACE (atomic), and only then is the old copy deleted. Every crash
+    window leaves either the old state in place, or a completed rewrite
+    plus recoverable leftovers — handled on the next call:
+
+    * crash before the aside-rename: old state intact, stale ``.migrate``
+      is rebuilt from scratch;
+    * crash between the two renames: ``state_data`` absent + a COMPLETE
+      (_SUCCESS-marked) ``.migrate`` present — finish the swap;
+    * crash before the final delete: migrated state in place, orphan
+      ``.old`` is removed."""
     import shutil
 
+    tmp = state_data + ".migrate"
+    old = state_data + ".old"
+    if not os.path.exists(state_data):
+        # crashed between the renames iff the rewrite had completed
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.replace(tmp, state_data)
+            shutil.rmtree(old, ignore_errors=True)
+        return
+    if not _has_parts(state_data):  # empty marker dir: nothing to migrate
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return
     legacy = spark.read.parquet(state_data)
     if "hp" in legacy.columns:
+        shutil.rmtree(tmp, ignore_errors=True)  # stale/aborted rewrite
+        shutil.rmtree(old, ignore_errors=True)  # crash before final delete
         return
     migrated = legacy.withColumn(
         "hp", F.pmod(F.col("fhash"), F.lit(N_STATE_PREFIXES)).cast("int")
     )
     if "epoch_id" not in migrated.columns:
         migrated = migrated.withColumn("epoch_id", F.lit(LEGACY_EPOCH))
-    tmp = state_data + ".migrate"
+    shutil.rmtree(tmp, ignore_errors=True)
     migrated.write.mode("overwrite").partitionBy("epoch_id", "hp").parquet(
         tmp
-    )
-    shutil.rmtree(state_data)
+    )  # _SUCCESS marks completion
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(state_data, old)
     os.replace(tmp, state_data)
+    shutil.rmtree(old)
 
 
 def _dedup_batch(
@@ -129,7 +173,7 @@ def _dedup_batch(
         "hp", F.pmod(F.col("fhash"), F.lit(N_STATE_PREFIXES)).cast("int")
     ).localCheckpoint(eager=True)  # reused by prefix scan + two joins
     state_data = os.path.join(state_dir, "data")
-    have_state = os.path.exists(state_data)
+    have_state = _has_parts(state_data)
     if have_state:
         # prune the state read to the prefixes this batch actually touches
         # (partition filter on hp) and to epochs other than our own (a
@@ -190,8 +234,9 @@ def run_incremental_dedup(
     os.makedirs(state_dir, exist_ok=True)
     os.makedirs(dups_dir, exist_ok=True)
     state_data = os.path.join(state_dir, "data")
-    if os.path.exists(state_data):
-        _migrate_legacy_state(spark, state_data)
+    # unconditional: also recovers a crash between the migration renames
+    # (state_data absent, completed '.migrate' present)
+    _migrate_legacy_state(spark, state_data)
     stream = stream_transcripts(spark, input_path, max_files_per_trigger)
     writer = (
         stream.writeStream.foreachBatch(
@@ -216,12 +261,7 @@ def read_dup_log(spark: SparkSession, work_dir: str) -> DataFrame:
     files, so no inferable schema) and before the first batch the dir
     does not exist — both mean an EMPTY log, not an error."""
     path = os.path.join(work_dir, "dups", "data")
-    has_parts = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(path)
-        for f in files
-    )
-    if not has_parts:
+    if not _has_parts(path):
         return spark.createDataFrame([], DUP_LOG_SCHEMA)
     return spark.read.parquet(path)
 
@@ -252,7 +292,8 @@ def sessionize(
 # ---------------------------------------------------------------------------
 
 NEAR_PAIR_SCHEMA = (
-    "conv_id_a string, conv_id_b string, hamming int, epoch_id bigint"
+    "conv_id_a string, conv_id_b string, hamming int, is_overflow boolean, "
+    "epoch_id bigint"
 )
 
 
@@ -276,7 +317,8 @@ def _simhash_batch_fn(
     re-attach join, no state-side re-read of documents. State-side
     buckets above cfg.max_band_bucket within the pruned slice are
     excluded and COUNTED into the pair log as a (chunk_id-keyed) overflow
-    row with conv_id_a = '_overflow' (never silently dropped).
+    row flagged ``is_overflow = true`` (conv_id_a = '_overflow'; never
+    silently dropped, never mistakable for a pair).
     """
     from fast_duplicate_finder_spark.functions.simhash import (
         hamming64,
@@ -313,9 +355,13 @@ def _simhash_batch_fn(
         max_bucket=cfg.max_band_bucket,
         n_salt=cfg.band_salt_buckets,
     )
+    # overflow markers carry an explicit flag column so log consumers
+    # never mistake a counter row for a pair (they also keep the
+    # '_overflow' id convention for grep-ability)
+    intra = intra.withColumn("is_overflow", F.lit(False))
     pairs = intra
     state_data = os.path.join(state_dir, "data")
-    if os.path.exists(state_data):
+    if _has_parts(state_data):
         cps = [r["cp"] for r in chunks.select("cp").distinct().collect()]
         state = (
             spark.read.parquet(state_data)
@@ -334,6 +380,7 @@ def _simhash_batch_fn(
                     "conv_id_b"
                 ),
                 "hamming",
+                F.lit(True).alias("is_overflow"),
             )
         )
         cross = (
@@ -360,6 +407,7 @@ def _simhash_batch_fn(
                 hamming64(F.col("ss"), F.col("bs")).alias("hamming"),
             )
             .filter(F.col("hamming") <= cfg.simhash_hamming)
+            .withColumn("is_overflow", F.lit(False))
         )
         pairs = intra.unionByName(cross).unionByName(hot)
     (
@@ -413,12 +461,7 @@ def read_near_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
     """Every near-dup pair the stream has emitted (see read_dup_log for
     the empty-log contract)."""
     path = os.path.join(work_dir, "near_pairs", "data")
-    has_parts = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(path)
-        for f in files
-    )
-    if not has_parts:
+    if not _has_parts(path):
         return spark.createDataFrame([], NEAR_PAIR_SCHEMA)
     return spark.read.parquet(path)
 
@@ -428,7 +471,8 @@ def read_near_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 LSH_PAIR_SCHEMA = (
-    "conv_id_a string, conv_id_b string, jaccard double, epoch_id bigint"
+    "conv_id_a string, conv_id_b string, jaccard double, is_overflow boolean, "
+    "epoch_id bigint"
 )
 
 
@@ -454,8 +498,8 @@ def _lsh_batch_fn(
     intra-batch pairs through `operators/neardup.minhash_pairs`'s exact
     path (capped+salted band join, array_intersect verify); cross-batch
     candidates from the band-state join (hot state buckets capped +
-    counted as '_overflow' marker rows), verified with the same exact
-    Jaccard. Same replay contract as the exact leg: reads exclude the
+    counted as ``is_overflow = true`` marker rows), verified with the same
+    exact Jaccard. Same replay contract as the exact leg: reads exclude the
     current epoch, writes dynamic-overwrite exactly their own epoch
     partitions — at-least-once replay is byte-identical."""
     from fast_duplicate_finder_spark.functions.minhash import (
@@ -489,19 +533,23 @@ def _lsh_batch_fn(
     )
 
     cands, overflow = candidate_pairs(bands, cfg)
-    intra = verify_jaccard(cands, feats, cfg.jaccard_tau)
+    intra = verify_jaccard(cands, feats, cfg.jaccard_tau).withColumn(
+        "is_overflow", F.lit(False)
+    )
+    # marker rows carry an explicit flag (see _simhash_batch_fn)
     markers = overflow.groupBy("band_id").agg(
         F.count("*").cast("double").alias("jaccard")
     ).select(
         F.lit("_overflow").alias("conv_id_a"),
         F.concat(F.lit("band_"), F.col("band_id")).alias("conv_id_b"),
         "jaccard",
+        F.lit(True).alias("is_overflow"),
     )
     pairs = intra.unionByName(markers)
 
     bands_data = os.path.join(state_dir, "bands", "data")
     feats_data = os.path.join(state_dir, "feats", "data")
-    if os.path.exists(bands_data):
+    if _has_parts(bands_data):
         bps = [r["bp"] for r in bands.select("bp").distinct().collect()]
         sbands = (
             spark.read.parquet(bands_data)
@@ -520,6 +568,7 @@ def _lsh_batch_fn(
                     "conv_id_b"
                 ),
                 "jaccard",
+                F.lit(True).alias("is_overflow"),
             )
         )
         cross_cand = (
@@ -589,6 +638,7 @@ def _lsh_batch_fn(
                 F.greatest("sc", "bc").alias("conv_id_b"),
                 "jaccard",
             )
+            .withColumn("is_overflow", F.lit(False))
         )
         pairs = pairs.unionByName(cross_pairs).unionByName(state_markers)
 
@@ -651,11 +701,6 @@ def read_lsh_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
     """Every MinHash/LSH near-dup pair the stream has emitted (see
     read_dup_log for the empty-log contract)."""
     path = os.path.join(work_dir, "lsh_pairs", "data")
-    has_parts = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(path)
-        for f in files
-    )
-    if not has_parts:
+    if not _has_parts(path):
         return spark.createDataFrame([], LSH_PAIR_SCHEMA)
     return spark.read.parquet(path)

@@ -11,23 +11,28 @@ a below-gate scaling efficiency (which phase ISN'T scaling).
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ladder_report import timed_walls  # noqa: E402 — shared recovery logic
 
 
 def best_run(runs: list[dict], n: int) -> dict:
     """Fastest timed run for executor count ``n`` — min over every leg's
     timed (post-warm-up) runs_detail (NOT the chronologically last run of
     the best leg: on a host that drifts 2-3x that could profile the slow
-    run). runs_detail includes the warm-up run(s); a leg's timed tail is
-    the last ``len(all_walls) - warmups`` entries, and wall_sec is the min
-    of that tail (same recovery as ladder_report.timed_walls)."""
+    run). The timed tail is recovered by the SAME ladder_report.timed_walls
+    used for the efficiency numbers (its shrink-to-match-wall_sec loop
+    handles legs that recorded more than one warm-up; a local
+    'len(all_walls) - 1' re-implementation once profiled a warm-up run as
+    the fastest timed run)."""
     details = []
     for r in runs:
         if r["n_executors"] != n:
             continue
         d = r.get("runs_detail", [])
-        n_timed = max(len(r.get("all_walls", d)) - 1, 1)
-        details += d[-n_timed:]
+        details += d[-len(timed_walls(r)):]
     return min(details, key=lambda d: d["wall_sec"])
 
 

@@ -497,3 +497,248 @@ def test_incremental_lsh_replay_idempotent_and_partitioned(spark, tmp_path):
     assert s1[2]  # the cross-epoch near-dup pair was emitted
     _lsh_batch_fn(b2, 1, sd, pd_, cfg)  # at-least-once replay
     assert snap() == s1
+
+
+# ---------------------------------------------------------------------------
+# Round 4: forced mid-batch crashes, atomic migration, zero-row state,
+# explicit overflow flag
+# ---------------------------------------------------------------------------
+
+
+def _arm_crash_on_write(monkeypatch, path_suffix: str):
+    """Monkeypatch DataFrameWriter.parquet to raise ONCE when writing to a
+    path ending in ``path_suffix`` — simulates a process kill in the window
+    between a leg's two (or three) table writes."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig = DataFrameWriter.parquet
+    armed = {"on": True}
+
+    def failing(self, path, *a, **kw):
+        if armed["on"] and str(path).endswith(path_suffix):
+            armed["on"] = False
+            raise RuntimeError(f"injected crash before write to {path}")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", failing)
+    return armed
+
+
+def _simhash_batches(spark):
+    base = " ".join(f"w{i}" for i in range(200))
+    b1 = spark.createDataFrame(
+        _one_turn_rows({"a1": base}), _TRANSCRIPT_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        _one_turn_rows({"a2": base.replace("w100", "w100x")}),
+        _TRANSCRIPT_SCHEMA,
+    )
+    return b1, b2
+
+
+def test_simhash_crash_between_pairs_and_state_writes(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT round-3 #6: kill the simhash leg BETWEEN the pair-log write
+    and the state write, restart the epoch, and the logs come out
+    byte-identical to an uninterrupted run (the documented at-least-once
+    replay contract, now pinned for the multi-table leg)."""
+    import pytest as _pytest
+
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _simhash_batch_fn,
+    )
+
+    cfg = PipelineConfig()
+    b1, b2 = _simhash_batches(spark)
+
+    # reference: uninterrupted run
+    rd, rp = str(tmp_path / "ref_state"), str(tmp_path / "ref_pairs")
+    _simhash_batch_fn(b1, 0, rd, rp, cfg)
+    _simhash_batch_fn(b2, 1, rd, rp, cfg)
+
+    sd, pd_ = str(tmp_path / "sim_state"), str(tmp_path / "near_pairs")
+    _simhash_batch_fn(b1, 0, sd, pd_, cfg)
+    armed = _arm_crash_on_write(monkeypatch, "sim_state/data")
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _simhash_batch_fn(b2, 1, sd, pd_, cfg)  # pairs written, state not
+    assert not armed["on"]
+    _simhash_batch_fn(b2, 1, sd, pd_, cfg)  # restart replays epoch 1
+
+    def rows(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    assert rows(os.path.join(pd_, "data")) == rows(os.path.join(rp, "data"))
+    assert rows(os.path.join(sd, "data")) == rows(os.path.join(rd, "data"))
+
+
+@pytest.mark.parametrize("crash_at", ["bands/data", "feats/data"])
+def test_lsh_crash_windows_replay_identical(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """The LSH leg writes THREE tables (pairs, band state, feature state) —
+    two distinct crash windows. Kill in each window, restart, and all
+    three tables equal the uninterrupted run's."""
+    import pytest as _pytest
+
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _lsh_batch_fn,
+    )
+
+    cfg = PipelineConfig()
+    base = [f"w{i}" for i in range(300)]
+    edited = list(base)
+    for i in range(8):
+        edited[20 * i + 3] += "x"
+    b1 = spark.createDataFrame(
+        _one_turn_rows({"a1": " ".join(base)}), _TRANSCRIPT_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        _one_turn_rows({"a2": " ".join(edited)}), _TRANSCRIPT_SCHEMA
+    )
+
+    rd, rp = str(tmp_path / "ref_state"), str(tmp_path / "ref_pairs")
+    _lsh_batch_fn(b1, 0, rd, rp, cfg)
+    _lsh_batch_fn(b2, 1, rd, rp, cfg)
+
+    sd, pd_ = str(tmp_path / "lsh_state"), str(tmp_path / "lsh_pairs")
+    _lsh_batch_fn(b1, 0, sd, pd_, cfg)
+    armed = _arm_crash_on_write(monkeypatch, crash_at)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _lsh_batch_fn(b2, 1, sd, pd_, cfg)
+    assert not armed["on"]
+    _lsh_batch_fn(b2, 1, sd, pd_, cfg)  # restart
+
+    def rows(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    for sub in ("bands/data", "feats/data"):
+        assert rows(os.path.join(sd, sub)) == rows(os.path.join(rd, sub))
+    assert rows(os.path.join(pd_, "data")) == rows(os.path.join(rp, "data"))
+    pairs = spark.read.parquet(os.path.join(pd_, "data"))
+    real = pairs.filter(~F.col("is_overflow"))
+    assert real.count() >= 1  # the cross-epoch near-dup pair
+    assert not any("_overflow" in r["conv_id_a"] for r in real.collect())
+
+
+def test_migration_crash_between_renames_recovers(spark, tmp_path):
+    """ADVICE round-3 (medium): the legacy-state migration must not lose
+    the seen-hash state if killed between its renames. Simulate the exact
+    crash window (state_data renamed aside, completed rewrite not yet in
+    place) and assert the next call finishes the swap."""
+    import shutil
+
+    from fast_duplicate_finder_spark.sources.transcripts import (
+        assemble_conversations,
+    )
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        LEGACY_EPOCH,
+        _migrate_legacy_state,
+    )
+
+    t = generate_transcripts(spark, n_convs=20, seed=3)
+    legacy = assemble_conversations(t).select(
+        "conv_id", F.xxhash64("doc").alias("fhash"), "size"
+    )
+    state_data = str(tmp_path / "state" / "data")
+    legacy.write.parquet(state_data)
+    n_legacy = legacy.count()
+
+    # run the migration once to produce the completed rewrite, then rewind
+    # the filesystem to the mid-swap crash window: state_data absent,
+    # '.migrate' complete, '.old' holding the original
+    _migrate_legacy_state(spark, state_data)
+    shutil.copytree(state_data, state_data + ".migrate")
+    os.rename(state_data, state_data + ".old")
+
+    _migrate_legacy_state(spark, state_data)  # restart after the "crash"
+    recovered = spark.read.parquet(state_data)
+    assert recovered.count() == n_legacy
+    assert recovered.filter(F.col("epoch_id") != LEGACY_EPOCH).count() == 0
+    assert not os.path.exists(state_data + ".migrate")
+    assert not os.path.exists(state_data + ".old")
+
+    # a stale INCOMPLETE rewrite next to intact legacy state is rebuilt
+    state2 = str(tmp_path / "s2" / "data")
+    legacy.write.parquet(state2)
+    os.makedirs(state2 + ".migrate")  # no _SUCCESS: aborted write
+    _migrate_legacy_state(spark, state2)
+    assert spark.read.parquet(state2).count() == n_legacy
+    assert not os.path.exists(state2 + ".migrate")
+
+
+def test_zero_row_state_write_does_not_wedge_stream(spark, tmp_path):
+    """ADVICE round-3: a first micro-batch whose docs are all filtered out
+    (empty texts -> empty shingle sets) writes a state dir holding only
+    _SUCCESS; every later batch must treat that as NO state, not die in
+    parquet schema inference forever."""
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _dedup_batch,
+        _lsh_batch_fn,
+        _simhash_batch_fn,
+        read_lsh_pair_log,
+        read_near_pair_log,
+    )
+
+    cfg = PipelineConfig()
+    empty = spark.createDataFrame(
+        _one_turn_rows({"e1": ""}), _TRANSCRIPT_SCHEMA
+    )
+    base = " ".join(f"w{i}" for i in range(120))
+    good = spark.createDataFrame(
+        _one_turn_rows({"g1": base, "g2": base}), _TRANSCRIPT_SCHEMA
+    )
+
+    sd, pd_ = str(tmp_path / "sim_state"), str(tmp_path / "near_pairs")
+    _simhash_batch_fn(empty, 0, sd, pd_, cfg)   # zero state rows
+    _simhash_batch_fn(good, 1, sd, pd_, cfg)    # must not raise
+    log = read_near_pair_log(spark, str(tmp_path))
+    assert "is_overflow" in log.columns
+
+    ld, lp = str(tmp_path / "lsh_state"), str(tmp_path / "lsh_pairs")
+    _lsh_batch_fn(empty, 0, ld, lp, cfg)
+    _lsh_batch_fn(good, 1, ld, lp, cfg)
+    lpairs = read_lsh_pair_log(spark, str(tmp_path))
+    assert {(r["conv_id_a"], r["conv_id_b"])
+            for r in lpairs.filter(~F.col("is_overflow")).collect()
+            } == {("g1", "g2")}
+
+    # exact leg: an empty batch writes zero state rows too
+    dd, dp = str(tmp_path / "d_state"), str(tmp_path / "d_dups")
+    nothing = spark.createDataFrame([], _TRANSCRIPT_SCHEMA)
+    _dedup_batch(nothing, 0, dd, dp)
+    _dedup_batch(good, 1, dd, dp)  # must not raise
+
+
+def test_overflow_markers_flagged(spark, tmp_path):
+    """ADVICE round-3: marker rows are explicit (`is_overflow = true`), so
+    a consumer aggregating the log can filter without knowing the
+    '_overflow' id convention. Force a hot state bucket with a cap of 1."""
+    import dataclasses
+
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _simhash_batch_fn,
+        read_near_pair_log,
+    )
+
+    cfg = dataclasses.replace(PipelineConfig(), max_band_bucket=1)
+    base = " ".join(f"w{i}" for i in range(120))
+    b1 = spark.createDataFrame(
+        _one_turn_rows({"a1": base, "a2": base}), _TRANSCRIPT_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        _one_turn_rows({"a3": base}), _TRANSCRIPT_SCHEMA
+    )
+    sd, pd_ = str(tmp_path / "sim_state"), str(tmp_path / "near_pairs")
+    _simhash_batch_fn(b1, 0, sd, pd_, cfg)
+    _simhash_batch_fn(b2, 1, sd, pd_, cfg)
+    log = read_near_pair_log(spark, str(tmp_path)).collect()
+    markers = [r for r in log if r["is_overflow"]]
+    real = [r for r in log if not r["is_overflow"]]
+    assert markers, "cap of 1 over a 2-row state bucket must emit a marker"
+    assert all(r["conv_id_a"] == "_overflow" for r in markers)
+    assert all(r["conv_id_a"] != "_overflow" for r in real)
