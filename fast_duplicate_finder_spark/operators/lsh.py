@@ -163,8 +163,23 @@ def capped_pairs(
     # shuffle over EVERY row re-executes per action (and per self-join
     # side). Only rows in buckets >= 2 survive the filter, so the
     # materialized set is the interesting minority, not the corpus.
+    #
+    # The key exchange is EXPLICIT-N (never AQE-coalesced): the window's
+    # own exchange gets byte-balance-coalesced (16 -> 11 uneven at
+    # local-cluster[8,1], scripts/p7_probe.py), and since the checkpoint
+    # preserves that partitioning, the SELF-JOIN below inherits the uneven
+    # buckets exchange-free — its cost is quadratic per bucket, so the
+    # merged partitions ran max ~2x median (6.7 s vs 3.2 s), a one-task
+    # tail on every pair leg. An explicit count satisfies the window's
+    # required distribution (still exactly ONE exchange) and keeps the
+    # downstream join waves even. Same trap + fix as
+    # operators/neardup._repartition_even.
+    n_shuffle = int(
+        rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     sized = (
-        rows.withColumn("bucket_n", F.count("*").over(w))
+        rows.repartition(n_shuffle, *key_cols)
+        .withColumn("bucket_n", F.count("*").over(w))
         .filter(F.col("bucket_n") >= 2)
         .localCheckpoint(eager=True)
     )

@@ -31,6 +31,27 @@ from fast_duplicate_finder_spark.operators.lsh import (
 from fast_duplicate_finder_spark.operators.verify import verify_jaccard
 
 
+def _repartition_even(df: DataFrame) -> DataFrame:
+    """conv_id hash exchange with an EXPLICIT partition count (the session's
+    shuffle.partitions — the same number the bare form starts from).
+
+    ``repartition("conv_id")`` without a count lets AQE re-coalesce the
+    exchange toward advisoryPartitionSizeInBytes — balancing BYTES. The
+    stages fed by this exchange (posexplode + lead-window + collect_list,
+    then the Arrow signature kernels) cost ~20x CPU per input byte, so a
+    byte-targeted merge breaks WAVE balance: measured on the 5.2M-turn
+    ladder corpus at local-cluster[8,1,10240], AQE merged 16 even buckets
+    into 14 (two double-width), making the stage's max task ~2x its median
+    (38-58 s vs 17-28 s) — a ~25 s one-straggler tail with 7 of 8 cores
+    idle, HALF the phase's scaling loss (BENCH/ladder_r4_subknee.json,
+    scripts/p6_probe.py). An explicit count is never AQE-coalesced, so the
+    16 hash buckets stay even (1.01 max/avg byte ratio) and the waves stay
+    full. Skew handling is unaffected: AQE skew-join operates on join
+    exchanges, not this one."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, "conv_id")
+
+
 def shingle_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(conv_id, shset, grams) — one pass over documents; reused by every
     near-dup leg. Checkpoint this in the pipeline: documents are never
@@ -58,12 +79,14 @@ def shingle_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # round 1 instead shuffled TOKEN rows (~3-5x corpus bytes of row
     # overhead) for the window and again for the agg, the plan's dominant
     # exchange at 10^12 turns.
-    base = docs.select(
-        "conv_id",
-        F.size(w).alias("n_words"),
-        F.xxhash64(F.array_join(w, " ")).alias("whole_hash"),
-        F.col("doc"),
-    ).repartition("conv_id")
+    base = _repartition_even(
+        docs.select(
+            "conv_id",
+            F.size(w).alias("n_words"),
+            F.xxhash64(F.array_join(w, " ")).alias("whole_hash"),
+            F.col("doc"),
+        )
+    )
     toks = base.select(
         "conv_id", "n_words", F.posexplode(words(F.col("doc"))).alias("pos", "tok")
     )
@@ -220,7 +243,7 @@ def winnow_fingerprint_rows(features: DataFrame, window: int) -> DataFrame:
     The gram-array rows are repartitioned by conv_id BEFORE posexplode so
     the per-doc windows and the distinct run without a gram-granularity
     exchange (same one-exchange-up-front shape as shingle_features)."""
-    g = features.select("conv_id", "grams").repartition("conv_id").select(
+    g = _repartition_even(features.select("conv_id", "grams")).select(
         "conv_id", F.posexplode("grams").alias("pos", "gh")
     )
     w_frame = (

@@ -349,7 +349,7 @@ def _simhash_batch_fn(
         "cp", F.pmod(F.col("chunk_val"), F.lit(N_STATE_PREFIXES)).cast("int")
     ).localCheckpoint(eager=True)
 
-    intra, _ = simhash_candidate_pairs(
+    intra, intra_ovf = simhash_candidate_pairs(
         sims,
         cfg.simhash_hamming,
         max_bucket=cfg.max_band_bucket,
@@ -357,9 +357,25 @@ def _simhash_batch_fn(
     )
     # overflow markers carry an explicit flag column so log consumers
     # never mistake a counter row for a pair (they also keep the
-    # '_overflow' id convention for grep-ability)
+    # '_overflow' id convention for grep-ability). INTRA-batch capped
+    # buckets are counted too — the batch pipeline checkpoints them as the
+    # p7b overflow phase; the stream has no phase table, so they ride the
+    # pair log like the state-side markers below (capped, counted, never
+    # silent).
     intra = intra.withColumn("is_overflow", F.lit(False))
-    pairs = intra
+    intra_markers = (
+        intra_ovf.groupBy("chunk_id")
+        .agg(F.sum("bucket_n").cast("int").alias("hamming"))
+        .select(
+            F.lit("_overflow").alias("conv_id_a"),
+            F.concat(F.lit("intra_chunk_"), F.col("chunk_id")).alias(
+                "conv_id_b"
+            ),
+            "hamming",
+            F.lit(True).alias("is_overflow"),
+        )
+    )
+    pairs = intra.unionByName(intra_markers)
     state_data = os.path.join(state_dir, "data")
     if _has_parts(state_data):
         cps = [r["cp"] for r in chunks.select("cp").distinct().collect()]
@@ -409,7 +425,7 @@ def _simhash_batch_fn(
             .filter(F.col("hamming") <= cfg.simhash_hamming)
             .withColumn("is_overflow", F.lit(False))
         )
-        pairs = intra.unionByName(cross).unionByName(hot)
+        pairs = pairs.unionByName(cross).unionByName(hot)
     (
         pairs.distinct()
         .withColumn("epoch_id", F.lit(epoch_id))
