@@ -66,7 +66,12 @@ def test_stage_progress_poller_emits_fractional_percent(spark):
         import time
 
         for pdf in batches:
-            time.sleep(1.0)
+            # STAGGERED task durations (0.5 s .. 2.25 s by partition id):
+            # completions then spread over a >1 s window, so the poller
+            # observes a mid-job count even under the listener's few-
+            # hundred-ms publish throttle AND host-load jitter (a uniform
+            # 1 s sleep made this flaky when the suite ran fully loaded)
+            time.sleep(0.5 + 0.25 * int(pdf["id"].iloc[0] % 8))
             yield pdf
 
     # warm the Python workers so wave timing is the sleep, not worker spawn
