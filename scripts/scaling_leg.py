@@ -119,6 +119,12 @@ def main() -> int:
         )
     )
     spark.stop()
+    # each run's checkpoint tree is ~2.5 GB at the 800k-conv corpus; a
+    # 2-ladder session (24 runs) would fill the 70 GB disk if legs never
+    # cleaned up after themselves (they already rmtree BEFORE each run,
+    # but the last run of every leg used to linger)
+    for i in range(args.warmup_runs + args.timed_runs):
+        shutil.rmtree(f"{args.ckpt}_{i}", ignore_errors=True)
     return 0
 
 
