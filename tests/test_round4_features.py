@@ -163,3 +163,52 @@ def test_shuffle_partitions_not_a_pipeline_parameter():
     }
     with pytest.raises(TypeError):
         PipelineConfig(shuffle_partitions=64)
+
+
+def test_compute_heavy_exchanges_pin_explicit_width(spark, monkeypatch):
+    """AQE merge-skew guard (PLANS.md): the conv_id exchange feeding the
+    feature stage and the key exchange inside capped_pairs use an EXPLICIT
+    partition count — AQE's byte-targeted coalescing merged their even hash
+    buckets into uneven ones (16->14 / 16->11 at local-cluster[8,1]), and
+    the compute-heavy stages they feed then ran max-task ~2x median (a
+    one-straggler tail invisible at low parallelism). Pin both the plan
+    marker (REPARTITION_BY_NUM is never AQE-coalesced) and the runtime
+    partition count on an input small enough that AQE would otherwise
+    collapse it to 1."""
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.operators.lsh import capped_pairs
+    from fast_duplicate_finder_spark.operators.neardup import (
+        shingle_features,
+    )
+
+    cfg = PipelineConfig()
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.createDataFrame(
+        [(f"c{i}", f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(40)],
+        "conv_id string, doc string",
+    )
+    feats = shingle_features(docs, cfg)
+    assert "REPARTITION_BY_NUM" in feats._jdf.queryExecution().toString()
+    assert feats.rdd.getNumPartitions() == n_shuffle
+
+    rows = spark.createDataFrame(
+        [(f"c{i}", i % 5) for i in range(40)], "conv_id string, key int"
+    )
+    # capped_pairs' explicit-width exchange sits ABOVE its localCheckpoint
+    # (every downstream plan starts at Scan ExistingRDD), so capture the
+    # plan AT the checkpoint call. Aggregations downstream of the
+    # checkpoint deliberately stay AQE-managed (PLANS.md) — only the
+    # exchange feeding the bucket window + self-join must be pinned.
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    captured: list[str] = []
+    orig_ck = ClassicDF.localCheckpoint
+
+    def capturing(self, eager=True):
+        captured.append(self._jdf.queryExecution().toString())
+        return orig_ck(self, eager)
+
+    monkeypatch.setattr(ClassicDF, "localCheckpoint", capturing)
+    pairs, _ = capped_pairs(rows, ["key"], max_bucket=100, n_salt=2)
+    assert captured and all("REPARTITION_BY_NUM" in s for s in captured)
+    assert pairs.count() == sum(8 * 7 // 2 for _ in range(5))
