@@ -55,11 +55,10 @@ def test_cc_change_detection_rides_the_checkpoint(spark, monkeypatch):
 
 
 def test_stage_progress_poller_emits_fractional_percent(spark):
-    """Deterministic poller pin: a 2-wave job (8 tasks x 1 s on 4 cores)
+    """Deterministic poller pin: a job of 8 staggered tasks (0.5-2.25 s)
     under a tagged job group must yield at least one status='progress'
     event with 0 < within_phase_percent < 100, and overall percent inside
-    the phase's slice. (Waves are 1 s because the status store publishes
-    task completions with a few-hundred-ms listener throttle.)"""
+    the phase's slice."""
     sc = spark.sparkContext
 
     def slow(batches):
