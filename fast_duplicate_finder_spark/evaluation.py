@@ -118,14 +118,20 @@ def ground_truth_tiers(
         F.col("doc").alias("doc_b"),
         F.col("shset").alias("shset_b"),
     )
-    joined = planted.join(a, "conv_id_a").join(b, "conv_id_b")
+    # LEFT joins: a planted conv absent from ``docs`` is a lost input and
+    # must surface as tier 'missing' (failing the gate), not silently
+    # shrink the recall denominator the way an inner join would.
+    joined = planted.join(a, "conv_id_a", "left").join(b, "conv_id_b", "left")
     inter = F.size(F.array_intersect("shset_a", "shset_b"))
     union = F.size("shset_a") + F.size("shset_b") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
     return joined.select(
         "conv_id_a",
         "conv_id_b",
-        F.when(F.col("doc_a") == F.col("doc_b"), F.lit("exact"))
+        F.when(
+            F.col("doc_a").isNull() | F.col("doc_b").isNull(), F.lit("missing")
+        )
+        .when(F.col("doc_a") == F.col("doc_b"), F.lit("exact"))
         .when(jac >= F.lit(cfg.jaccard_tau), F.lit("near"))
         .otherwise(F.lit("below"))
         .alias("tier"),
@@ -207,4 +213,7 @@ def recall_report(
         out["recall_clusters"] = n_hit / n_dup
         out["n_dup_pairs"] = n_dup
     out["n_below_tau_excluded"] = by_tier.get("below", {}).get("n", 0)
+    # pairs whose conv(s) never reached the docs frame: input loss, not a
+    # similarity judgement — any nonzero count fails the gate
+    out["n_missing_input_pairs"] = by_tier.get("missing", {}).get("n", 0)
     return out

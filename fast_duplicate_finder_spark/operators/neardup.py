@@ -31,7 +31,7 @@ from fast_duplicate_finder_spark.operators.lsh import (
 from fast_duplicate_finder_spark.operators.verify import verify_jaccard
 
 
-def _repartition_even(df: DataFrame) -> DataFrame:
+def _repartition_even(df: DataFrame, even: bool = True) -> DataFrame:
     """conv_id hash exchange with an EXPLICIT partition count (the session's
     shuffle.partitions — the same number the bare form starts from).
 
@@ -47,12 +47,22 @@ def _repartition_even(df: DataFrame) -> DataFrame:
     scripts/p6_probe.py). An explicit count is never AQE-coalesced, so the
     16 hash buckets stay even (1.01 max/avg byte ratio) and the waves stay
     full. Skew handling is unaffected: AQE skew-join operates on join
-    exchanges, not this one."""
+    exchanges, not this one.
+
+    ``even=False`` keeps the bare form: the wave-balance argument only
+    holds for corpus-sized inputs. A streaming micro-batch is tiny, and
+    pinning shuffle.partitions near-empty tasks onto every checkpointed
+    frame of every trigger is pure scheduling overhead — there AQE's
+    coalesce-to-few is exactly right."""
+    if not even:
+        return df.repartition("conv_id")
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n, "conv_id")
 
 
-def shingle_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def shingle_features(
+    docs: DataFrame, cfg: PipelineConfig, even_exchange: bool = True
+) -> DataFrame:
     """(conv_id, shset, grams) — one pass over documents; reused by every
     near-dup leg. Checkpoint this in the pipeline: documents are never
     re-read afterwards.
@@ -85,7 +95,8 @@ def shingle_features(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.size(w).alias("n_words"),
             F.xxhash64(F.array_join(w, " ")).alias("whole_hash"),
             F.col("doc"),
-        )
+        ),
+        even=even_exchange,
     )
     toks = base.select(
         "conv_id", "n_words", F.posexplode(words(F.col("doc"))).alias("pos", "tok")

@@ -234,11 +234,15 @@ def run_pipeline(
                 import time as _time
 
                 t0 = _time.perf_counter()
-                leg_pairs, leg_ovf = fn()
+                # the poller wraps fn() too: a leg's dominant work is the
+                # eager candidate-generation checkpoint INSIDE fn(), and
+                # within-phase progress must cover it, not only the final
+                # verify+write
                 with StageProgressPoller(
                     spark, progress, pairs_phase, counter["i"], n_phases,
                     interval=progress.poll_interval,
                 ):
+                    leg_pairs, leg_ovf = fn()
                     out = store.write(
                         leg_pairs, pairs_phase, lineage=["p6_features"]
                     )

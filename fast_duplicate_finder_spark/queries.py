@@ -856,9 +856,10 @@ def q_span_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate cap, modulo the within-doc occurrence cap below). Cost
     over the distinct form: positional rows join occ_a x occ_b per
     repeated window value within a pair — within-doc occurrences are
-    capped at max_band_bucket with a counted overflow
-    (``_span_longest_runs(..., with_overflow=True)``), so a degenerate
-    one-token-repeated doc cannot detonate the join.
+    capped at max_band_bucket with a counted overflow surfaced as its own
+    oracle-checked query (``span_longest_overflow``), so a degenerate
+    one-token-repeated doc cannot detonate the join and the drop is never
+    silent.
     """
     return _span_longest_runs(dup_corpus(spark, sf_dir))
 
@@ -888,6 +889,41 @@ runs AS (
 SELECT da AS doc_id_a, db AS doc_id_b,
        (max(run) + {_SPAN_TOKENS - 1})::BIGINT AS longest_run_tokens
 FROM runs GROUP BY 1, 2"""
+
+
+def q_span_longest_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counted overflow of span_longest_run's within-doc occurrence cap —
+    the cap's counter as a first-class query surface (the pipeline's
+    "capped, counted, never silent" rule; the pipeline writes its leg
+    overflows as their own checkpointed tables, this is the catalog-leg
+    analogue). Per doc that holds at least one window value repeated more
+    than max_band_bucket times: the number of dropped repetition groups
+    and the worst repetition count. Empty on healthy corpora — the
+    degenerate repeated-token fixture in
+    tests/test_round4_features.py::test_span_longest_run_occurrence_cap
+    makes it fire. Doc-level aggregation keeps the output
+    hash-representation-independent (Spark groups by xxhash64'd windows,
+    DuckDB by the window strings — per-doc counts agree, raw keys don't)."""
+    _, ovf = _span_longest_runs(dup_corpus(spark, sf_dir), with_overflow=True)
+    return ovf.groupBy("doc_id").agg(
+        F.count("*").alias("n_overflow_groups"),
+        F.max("occurrences").alias("max_occurrences"),
+    )
+
+
+ORACLE_SPAN_OVERFLOW = f"""WITH {CORPUS_CTE},
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+sp_raw AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+{_SPAN_TOKENS - 1}], ' ') AS ss
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_SPAN_TOKENS - 2})) AS i
+        FROM t WHERE len(ws) >= {_SPAN_TOKENS})),
+occ AS (
+  SELECT doc_id, ss, count(*)::BIGINT AS occurrences
+  FROM sp_raw GROUP BY doc_id, ss
+  HAVING count(*) > {CFG.max_band_bucket})
+SELECT doc_id, count(*)::BIGINT AS n_overflow_groups,
+       max(occurrences) AS max_occurrences
+FROM occ GROUP BY doc_id"""
 
 
 def q_span_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1234,6 +1270,7 @@ QUERIES = {
     "winnow_span_candidates": q_winnow_span_candidates,
     "span_exact_pairs": q_span_exact_pairs,
     "span_longest_run": q_span_longest_run,
+    "span_longest_overflow": q_span_longest_overflow,
     "span_components": q_span_components,
     "connected_components_exact": q_connected_components_exact,
     "token_stats": q_token_stats,
@@ -1259,6 +1296,7 @@ ORACLES = {
     "winnow_span_candidates": ORACLE_WINNOW,
     "span_exact_pairs": ORACLE_SPAN_EXACT,
     "span_longest_run": ORACLE_SPAN_LONGEST,
+    "span_longest_overflow": ORACLE_SPAN_OVERFLOW,
     "span_components": ORACLE_SPAN_COMPONENTS,
     "connected_components_exact": ORACLE_CC,
     "token_stats": ORACLE_TOKEN_STATS,

@@ -333,7 +333,7 @@ def _simhash_batch_fn(
     spark = batch.sparkSession
     docs = assemble_conversations(batch)
     sims = (
-        shingle_features(docs, cfg)
+        shingle_features(docs, cfg, even_exchange=False)
         .filter(F.size("shset") > 0)
         .select("conv_id", simhash_udf("shset").alias("simhash"))
         .localCheckpoint(eager=True)  # feeds chunks + intra-batch self-join
@@ -475,11 +475,16 @@ def run_incremental_simhash(
 
 def read_near_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
     """Every near-dup pair the stream has emitted (see read_dup_log for
-    the empty-log contract)."""
+    the empty-log contract). Reads with the explicit schema so epochs
+    written before ``is_overflow`` existed still load; their flag is
+    reconstructed from the marker-row convention those epochs used."""
     path = os.path.join(work_dir, "near_pairs", "data")
     if not _has_parts(path):
         return spark.createDataFrame([], NEAR_PAIR_SCHEMA)
-    return spark.read.parquet(path)
+    return spark.read.schema(NEAR_PAIR_SCHEMA).parquet(path).withColumn(
+        "is_overflow",
+        F.coalesce(F.col("is_overflow"), F.col("conv_id_a") == "_overflow"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -533,7 +538,7 @@ def _lsh_batch_fn(
     spark = batch.sparkSession
     docs = assemble_conversations(batch)
     feats = (
-        shingle_features(docs, cfg)
+        shingle_features(docs, cfg, even_exchange=False)
         .filter(F.size("shset") > 0)
         .select("conv_id", "shset")
         .localCheckpoint(eager=True)  # verify payload for BOTH pair legs
@@ -565,7 +570,12 @@ def _lsh_batch_fn(
 
     bands_data = os.path.join(state_dir, "bands", "data")
     feats_data = os.path.join(state_dir, "feats", "data")
-    if _has_parts(bands_data):
+    # BOTH state tables must exist before the cross-batch path runs: if the
+    # first epoch crashed between the bands write and the feats write, the
+    # replay would otherwise read a feats dir that does not exist yet and
+    # wedge the stream forever. With only this epoch's (excluded) rows in
+    # bands state, skipping the cross path loses nothing.
+    if _has_parts(bands_data) and _has_parts(feats_data):
         bps = [r["bp"] for r in bands.select("bp").distinct().collect()]
         sbands = (
             spark.read.parquet(bands_data)
@@ -715,8 +725,12 @@ def run_incremental_lsh(
 
 def read_lsh_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
     """Every MinHash/LSH near-dup pair the stream has emitted (see
-    read_dup_log for the empty-log contract)."""
+    read_dup_log for the empty-log contract; see read_near_pair_log for
+    the pre-``is_overflow`` epoch migration-on-read)."""
     path = os.path.join(work_dir, "lsh_pairs", "data")
     if not _has_parts(path):
         return spark.createDataFrame([], LSH_PAIR_SCHEMA)
-    return spark.read.parquet(path)
+    return spark.read.schema(LSH_PAIR_SCHEMA).parquet(path).withColumn(
+        "is_overflow",
+        F.coalesce(F.col("is_overflow"), F.col("conv_id_a") == "_overflow"),
+    )

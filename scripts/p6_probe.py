@@ -25,50 +25,6 @@ import argparse
 import json
 import os
 import sys
-import threading
-import time
-
-
-def cpu_sample() -> tuple[int, int]:
-    with open("/proc/stat") as f:
-        parts = f.readline().split()[1:]
-    vals = [int(x) for x in parts]
-    idle = vals[3] + vals[4]
-    return sum(vals) - idle, sum(vals)
-
-
-class BusyCores:
-    """Average + peak host busy cores over the guarded block."""
-
-    def __enter__(self):
-        self.samples: list[float] = []
-        self._stop = threading.Event()
-        self._last = cpu_sample()
-
-        def poll():
-            while not self._stop.wait(1.0):
-                cur = cpu_sample()
-                db = cur[0] - self._last[0]
-                dt = cur[1] - self._last[1]
-                self._last = cur
-                if dt > 0:
-                    self.samples.append(db / dt * os.cpu_count())
-
-        self._t = threading.Thread(target=poll, daemon=True)
-        self._t.start()
-        return self
-
-    def __exit__(self, *exc):
-        self._stop.set()
-        self._t.join()
-
-    @property
-    def avg(self) -> float:
-        return round(sum(self.samples) / max(len(self.samples), 1), 1)
-
-    @property
-    def peak(self) -> float:
-        return round(max(self.samples, default=0.0), 1)
 
 
 def main() -> int:
@@ -122,52 +78,10 @@ def main() -> int:
     store = CheckpointStore(spark, ck, cfg.fingerprint())
     docs = store.write(assemble_conversations(transcripts), "docs")
 
-    import urllib.request
+    from probe_util import StageProbe
 
-    app_id = spark.sparkContext.applicationId
-    ui = spark.sparkContext.uiWebUrl
-
-    def stages_snapshot():
-        try:
-            with urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
-            ) as r:
-                return {s["stageId"]: s for s in json.load(r)}
-        except Exception:
-            return {}
-
-    def step(name, fn, out):
-        before = stages_snapshot()
-        with BusyCores() as bc:
-            t0 = time.perf_counter()
-            res = fn()
-            dt = time.perf_counter() - t0
-        after = stages_snapshot()
-        new_stages = []
-        for sid, s in sorted(after.items()):
-            if sid in before:
-                continue
-            try:
-                with urllib.request.urlopen(
-                    f"{ui}/api/v1/applications/{app_id}/stages/{sid}/"
-                    f"{s['attemptId']}/taskSummary?quantiles=0,0.5,1.0"
-                ) as r:
-                    q = json.load(r)
-                dur = [round(x / 1000.0, 1) for x in q["duration"]]
-            except Exception:
-                dur = []
-            new_stages.append({
-                "id": sid,
-                "tasks": s["numCompleteTasks"],
-                "run_sec": round(s["executorRunTime"] / 1000.0, 1),
-                "cpu_sec": round(s["executorCpuTime"] / 1e9, 1),
-                "task_min_med_max": dur,
-                "name": s["name"].split("\n")[0][:60],
-            })
-        out[name] = {"sec": round(dt, 2), "busy_avg": bc.avg,
-                     "busy_peak": bc.peak, "timeline": [
-                         round(x, 1) for x in bc.samples],
-                     "stages": new_stages, "result": res}
+    probe = StageProbe(spark)
+    step = probe.step
 
     runs = []
     for rep in range(args.reps):

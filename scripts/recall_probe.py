@@ -62,6 +62,14 @@ def main() -> int:
     )
     transcripts = spark.read.parquet(input_path)
     n_turns = transcripts.count()
+    # ensure_corpus only checks _SUCCESS — an existing corpus of a different
+    # size would silently shrink the truth via the planted-pair arithmetic
+    n_actual = transcripts.select("conv_id").distinct().count()
+    if n_actual != args.n_convs:
+        raise SystemExit(
+            f"corpus at {input_path} has {n_actual} convs, "
+            f"--n-convs says {args.n_convs}"
+        )
 
     if os.path.isdir(args.ckpt):
         shutil.rmtree(args.ckpt)
@@ -92,6 +100,7 @@ def main() -> int:
         gate_pass=bool(
             rep.get("recall_clusters", 0.0) >= 0.99
             and rep.get("recall_exact_clusters", 0.0) == 1.0
+            and rep.get("n_missing_input_pairs", 0) == 0
         ),
     )
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

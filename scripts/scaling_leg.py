@@ -68,13 +68,8 @@ def main() -> int:
         warm("id")
     ).count()
 
-    def cpu_sample() -> tuple[int, int]:
-        """(busy_jiffies, total_jiffies) across all host CPUs."""
-        with open("/proc/stat") as f:
-            parts = f.readline().split()[1:]
-        vals = [int(x) for x in parts]
-        idle = vals[3] + vals[4]  # idle + iowait
-        return sum(vals) - idle, sum(vals)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    from probe_util import cpu_sample
 
     walls = []
     phase_runs = []

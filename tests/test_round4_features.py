@@ -211,3 +211,43 @@ def test_compute_heavy_exchanges_pin_explicit_width(spark, monkeypatch):
     pairs, _ = capped_pairs(rows, ["key"], max_bucket=100, n_salt=2)
     assert captured and all("REPARTITION_BY_NUM" in s for s in captured)
     assert pairs.count() == sum(8 * 7 // 2 for _ in range(5))
+
+
+def test_span_longest_overflow_query_matches_oracle(spark, tmp_path):
+    """The occurrence-cap counter is a first-class oracle-checked query
+    (span_longest_overflow): on a documents table holding a degenerate
+    repeated-token doc, the Spark query and the DuckDB oracle must agree
+    on the per-doc dropped-group counts — and they must be NONZERO (the
+    sf* corpora are healthy, so the sweep only pins the empty case)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fast_duplicate_finder_spark.queries import _SPAN_TOKENS, CFG, ORACLES, QUERIES
+
+    n_rep = CFG.max_band_bucket + 500
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 3, 7], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha " * 30,  # < span_min_tokens words: no windows
+                    " ".join(["tok"] * n_rep),  # one window value, n_rep-39 occ
+                    " ".join(f"w{i}" for i in range(80)),  # all-unique windows
+                ]
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_id"], r["n_overflow_groups"], r["max_occurrences"])
+        for r in QUERIES["span_longest_overflow"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = set(map(tuple, con.execute(ORACLES["span_longest_overflow"]).fetchall()))
+    assert got == exp == {(3, 1, n_rep - _SPAN_TOKENS + 1)}

@@ -742,3 +742,84 @@ def test_overflow_markers_flagged(spark, tmp_path):
     assert markers, "cap of 1 over a 2-row state bucket must emit a marker"
     assert all(r["conv_id_a"] == "_overflow" for r in markers)
     assert all(r["conv_id_a"] != "_overflow" for r in real)
+
+
+def test_lsh_first_epoch_crash_does_not_wedge_stream(
+    spark, tmp_path, monkeypatch
+):
+    """Crash the VERY FIRST epoch between the bands write and the feats
+    write: on replay, bands state exists but feats state does not. The
+    cross-batch path must skip (both state tables are required) instead of
+    reading the missing feats dir and failing every replay forever."""
+    import pytest as _pytest
+
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _lsh_batch_fn,
+    )
+
+    cfg = PipelineConfig()
+    base = [f"w{i}" for i in range(300)]
+    edited = list(base)
+    for i in range(8):
+        edited[20 * i + 3] += "x"
+    b1 = spark.createDataFrame(
+        _one_turn_rows({"a1": " ".join(base)}), _TRANSCRIPT_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        _one_turn_rows({"a2": " ".join(edited)}), _TRANSCRIPT_SCHEMA
+    )
+
+    rd, rp = str(tmp_path / "ref_state"), str(tmp_path / "ref_pairs")
+    _lsh_batch_fn(b1, 0, rd, rp, cfg)
+    _lsh_batch_fn(b2, 1, rd, rp, cfg)
+
+    sd, pd_ = str(tmp_path / "lsh_state"), str(tmp_path / "lsh_pairs")
+    armed = _arm_crash_on_write(monkeypatch, "feats/data")
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _lsh_batch_fn(b1, 0, sd, pd_, cfg)  # pairs + bands written, feats not
+    assert not armed["on"]
+    _lsh_batch_fn(b1, 0, sd, pd_, cfg)  # replay epoch 0 must recover
+    _lsh_batch_fn(b2, 1, sd, pd_, cfg)
+
+    def rows(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    for sub in ("bands/data", "feats/data"):
+        assert rows(os.path.join(sd, sub)) == rows(os.path.join(rd, sub))
+    assert rows(os.path.join(pd_, "data")) == rows(os.path.join(rp, "data"))
+
+
+def test_pair_log_readers_migrate_pre_flag_epochs(spark, tmp_path):
+    """Epochs written before the ``is_overflow`` column existed must still
+    load: the readers read with the explicit schema and reconstruct the
+    flag from the old marker-row convention (conv_id_a = '_overflow')."""
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        read_lsh_pair_log,
+        read_near_pair_log,
+    )
+
+    old_near = spark.createDataFrame(
+        [("a", "b", 3), ("_overflow", "chunk_1", 7)],
+        "conv_id_a string, conv_id_b string, hamming int",
+    ).withColumn("epoch_id", F.lit(0))
+    new_near = spark.createDataFrame(
+        [("c", "d", 2, False)],
+        "conv_id_a string, conv_id_b string, hamming int, is_overflow boolean",
+    ).withColumn("epoch_id", F.lit(1))
+    near_path = str(tmp_path / "near" / "near_pairs" / "data")
+    old_near.write.partitionBy("epoch_id").parquet(near_path)
+    new_near.write.mode("append").partitionBy("epoch_id").parquet(near_path)
+    got = read_near_pair_log(spark, str(tmp_path / "near"))
+    flags = {(r["conv_id_a"], r["is_overflow"]) for r in got.collect()}
+    assert flags == {("a", False), ("_overflow", True), ("c", False)}
+
+    old_lsh = spark.createDataFrame(
+        [("a", "b", 0.9), ("_overflow", "band_2", 11.0)],
+        "conv_id_a string, conv_id_b string, jaccard double",
+    ).withColumn("epoch_id", F.lit(0))
+    lsh_path = str(tmp_path / "lsh" / "lsh_pairs" / "data")
+    old_lsh.write.partitionBy("epoch_id").parquet(lsh_path)
+    got = read_lsh_pair_log(spark, str(tmp_path / "lsh"))
+    flags = {(r["conv_id_a"], r["is_overflow"]) for r in got.collect()}
+    assert flags == {("a", False), ("_overflow", True)}
