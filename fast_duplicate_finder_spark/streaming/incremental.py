@@ -53,7 +53,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fast_duplicate_finder_spark.sources.transcripts import (
@@ -165,12 +165,19 @@ def _dedup_batch(
     writes dynamic-overwrite exactly their own epoch partitions."""
     spark = batch.sparkSession
     docs = assemble_conversations(batch)
+    # the batch's prefix list rides the checkpoint materialization as an
+    # Observation metric (the connected_components._truncated_counted
+    # pattern): per-trigger fixed cost is the stream's latency floor, and
+    # a separate distinct+collect job per trigger is pure overhead
+    obs = Observation()
     hashed = docs.select(
         "conv_id",
         F.xxhash64("doc").alias("fhash"),
         "size",
     ).withColumn(
         "hp", F.pmod(F.col("fhash"), F.lit(N_STATE_PREFIXES)).cast("int")
+    ).observe(
+        obs, F.collect_set("hp").alias("hps")
     ).localCheckpoint(eager=True)  # reused by prefix scan + two joins
     state_data = os.path.join(state_dir, "data")
     have_state = _has_parts(state_data)
@@ -178,7 +185,7 @@ def _dedup_batch(
         # prune the state read to the prefixes this batch actually touches
         # (partition filter on hp) and to epochs other than our own (a
         # replayed epoch must not see its own crashed half-write)
-        prefixes = [r["hp"] for r in hashed.select("hp").distinct().collect()]
+        prefixes = sorted(obs.get["hps"])
         seen = (
             spark.read.parquet(state_data)
             .filter(F.col("epoch_id") != epoch_id)
@@ -347,6 +354,11 @@ def _simhash_batch_fn(
         ),
     ).withColumn(
         "cp", F.pmod(F.col("chunk_val"), F.lit(N_STATE_PREFIXES)).cast("int")
+    )
+    # chunk-prefix list rides the checkpoint (see _dedup_batch)
+    cp_obs = Observation()
+    chunks = chunks.observe(
+        cp_obs, F.collect_set("cp").alias("cps")
     ).localCheckpoint(eager=True)
 
     intra, intra_ovf = simhash_candidate_pairs(
@@ -378,7 +390,7 @@ def _simhash_batch_fn(
     pairs = intra.unionByName(intra_markers)
     state_data = os.path.join(state_dir, "data")
     if _has_parts(state_data):
-        cps = [r["cp"] for r in chunks.select("cp").distinct().collect()]
+        cps = sorted(cp_obs.get["cps"])
         state = (
             spark.read.parquet(state_data)
             .filter(F.col("epoch_id") != epoch_id)
@@ -545,11 +557,13 @@ def _lsh_batch_fn(
     )
     mh = make_minhash_udf(cfg.lsh_perms_used, cfg.minhash_seed)
     sigs = feats.select("conv_id", mh("shset").alias("minhash"))
+    bp_obs = Observation()  # band-prefix list rides the checkpoint
     bands = (
         lsh_band_rows(sigs, cfg)
         .withColumn(
             "bp", F.pmod(F.col("band_hash"), F.lit(N_STATE_PREFIXES)).cast("int")
         )
+        .observe(bp_obs, F.collect_set("bp").alias("bps"))
         .localCheckpoint(eager=True)  # self-join + state join + state write
     )
 
@@ -576,7 +590,7 @@ def _lsh_batch_fn(
     # wedge the stream forever. With only this epoch's (excluded) rows in
     # bands state, skipping the cross path loses nothing.
     if _has_parts(bands_data) and _has_parts(feats_data):
-        bps = [r["bp"] for r in bands.select("bp").distinct().collect()]
+        bps = sorted(bp_obs.get["bps"])
         sbands = (
             spark.read.parquet(bands_data)
             .filter(F.col("epoch_id") != epoch_id)
@@ -609,20 +623,20 @@ def _lsh_batch_fn(
                 ["band_id", "band_hash"],
             )
             .filter(F.col("sc") != F.col("bc"))
-            .select("sc", "bc")
-            .distinct()
-            .localCheckpoint(eager=True)  # feeds hp-collect + verify join
-        )
-        hps = [
-            r["hp"]
-            for r in cross_cand.select(
+            .select(
+                "sc",
+                "bc",
                 F.pmod(F.xxhash64("sc"), F.lit(N_STATE_PREFIXES))
                 .cast("int")
-                .alias("hp")
+                .alias("hp"),
             )
             .distinct()
-            .collect()
-        ]
+        )
+        hp_obs = Observation()  # state-conv prefixes ride the checkpoint
+        cross_cand = cross_cand.observe(
+            hp_obs, F.collect_set("hp").alias("hps")
+        ).localCheckpoint(eager=True)  # feeds verify join (both sides)
+        hps = sorted(hp_obs.get["hps"])
         sfeats = (
             spark.read.parquet(feats_data)
             .filter(F.col("epoch_id") != epoch_id)
