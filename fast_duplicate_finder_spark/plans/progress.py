@@ -90,6 +90,11 @@ class ProgressReporter:
         self.logger = logger
         # within-phase StageProgressPoller cadence (run_pipeline reads it)
         self.poll_interval = poll_interval
+        # phase_progress events arrive from the poller's daemon thread while
+        # phase_start/phase_done arrive from the driver thread — serialize
+        # the event log, the logger mirror, and subscriber callbacks so a
+        # single-threaded subscriber never sees interleaved events
+        self._emit_lock = threading.Lock()
 
     @property
     def events(self) -> list[dict]:
@@ -100,16 +105,17 @@ class ProgressReporter:
         self.callbacks.append(cb)
 
     def _emit(self, event: dict) -> None:
-        self._events.append(event)  # deque(maxlen) evicts the oldest
-        if self.logger is not None:
-            self.logger.info(
-                f"phase {event['phase']} {event['status']} "
-                f"({event['percent']}%)",
-                context="pipeline",
-                data={k: v for k, v in event.items() if k != "phase"},
-            )
-        for cb in self.callbacks:
-            cb(event)
+        with self._emit_lock:
+            self._events.append(event)  # deque(maxlen) evicts the oldest
+            if self.logger is not None:
+                self.logger.info(
+                    f"phase {event['phase']} {event['status']} "
+                    f"({event['percent']}%)",
+                    context="pipeline",
+                    data={k: v for k, v in event.items() if k != "phase"},
+                )
+            for cb in self.callbacks:
+                cb(event)
 
     def phase_start(self, phase: str, index: int, total: int) -> None:
         self._emit(
@@ -189,11 +195,29 @@ class StageProgressPoller:
         self._interval = interval
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # Job groups are named by phase and the status tracker is
+        # SESSION-global (retains up to spark.ui.retainedJobs completed
+        # jobs): a second run_pipeline in the same session would otherwise
+        # count the first run's completed tasks in this phase's denominator
+        # (within_phase_percent starting near 100). Snapshot the group's
+        # pre-existing job ids now — this poller is constructed after
+        # enter_phase but before the phase body submits anything — and
+        # exclude them from the fraction.
+        try:
+            self._stale_jobs = frozenset(
+                self._tracker.getJobIdsForGroup(phase)
+            )
+        except Exception:  # noqa: BLE001 — racing a stopping SparkContext
+            self._stale_jobs = frozenset()
 
     def _fraction(self) -> float | None:
         total_tasks = done_tasks = 0
         try:
-            job_ids = self._tracker.getJobIdsForGroup(self._phase)
+            job_ids = [
+                j
+                for j in self._tracker.getJobIdsForGroup(self._phase)
+                if j not in self._stale_jobs
+            ]
             for jid in job_ids:
                 info = self._tracker.getJobInfo(jid)
                 if info is None:

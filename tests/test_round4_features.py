@@ -93,6 +93,30 @@ def test_stage_progress_poller_emits_fractional_percent(spark):
         assert 25.0 < e["percent"] < 50.0
 
 
+def test_stage_progress_poller_excludes_prior_runs_jobs(spark):
+    """The status tracker is session-global and job groups are named by
+    phase, so a SECOND run_pipeline in the same session would inherit the
+    first run's completed jobs in its denominator (within_phase_percent
+    born near 100, then stepping back). The poller snapshots pre-existing
+    group job ids at construction and excludes them: after a completed job
+    under the group, a fresh poller's fraction must be None (no NEW work),
+    not 1.0."""
+    sc = spark.sparkContext
+    reporter = ProgressReporter()
+    sc.setJobGroup("r4_stale_phase", "first run")
+    try:
+        assert spark.range(0, 8, 1, 8).count() == 8
+    finally:
+        sc.setJobGroup("", "")
+    poller = StageProgressPoller(
+        spark, reporter, "r4_stale_phase", 2, 4, interval=0.05
+    )
+    assert poller._stale_jobs, "tracker lost the completed group's jobs"
+    assert poller._fraction() is None, (
+        "a prior run's completed jobs leaked into a fresh poller's fraction"
+    )
+
+
 def test_pipeline_emits_within_phase_progress(spark, tmp_path):
     """Wiring pin (VERDICT #7 done-bar): run_pipeline surfaces fractional
     within-phase events for the long phases (p6/p7 legs on a real corpus;
