@@ -82,6 +82,7 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_candidate_pairs(
     sims: DataFrame, max_hamming: int, id_col: str = "conv_id",
     sim_col: str = "simhash", max_bucket: int = 2000, n_salt: int = 8,
+    even_exchange: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Pairs within ``max_hamming`` bits — pigeonhole equi-join + exact
     popcount verification.
@@ -117,7 +118,7 @@ def simhash_candidate_pairs(
     )
     cand, overflow = capped_pairs(
         keyed, ["chunk_id", "chunk_val"], max_bucket, n_salt,
-        payload_cols=["_sim"],
+        payload_cols=["_sim"], even_exchange=even_exchange,
     )
     pairs = (
         cand.select(

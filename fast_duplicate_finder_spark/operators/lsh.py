@@ -130,6 +130,7 @@ def capped_pairs(
     n_salt: int = 1,
     dedupe: bool = True,
     payload_cols: list[str] | None = None,
+    even_exchange: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared capped + salted self-join: (conv_id, key...) rows ->
     ((conv_id_a, conv_id_b) pairs, overflow metrics). The ONE pair
@@ -154,6 +155,13 @@ def capped_pairs(
     cheap verify path for fixed-width signatures (simhash); wide payloads
     should be re-attached to the (few) emitted pairs via
     operators/verify.attach_pair_payload instead.
+
+    ``even_exchange``: as in neardup._repartition_even — True pins the key
+    exchange at shuffle.partitions so AQE cannot byte-balance-coalesce the
+    quadratic-cost buckets uneven (the corpus-sized wave-balance fix);
+    False keeps the bare key repartition so AQE coalesces-to-few — the
+    right shape for a streaming micro-batch, where pinning hundreds of
+    near-empty tasks onto every trigger is pure scheduling overhead.
     """
     payload_cols = payload_cols or []
     w = Window.partitionBy(*key_cols)
@@ -174,12 +182,15 @@ def capped_pairs(
     # required distribution (still exactly ONE exchange) and keeps the
     # downstream join waves even. Same trap + fix as
     # operators/neardup._repartition_even.
-    n_shuffle = int(
-        rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    if even_exchange:
+        n_shuffle = int(
+            rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        rows = rows.repartition(n_shuffle, *key_cols)
+    else:
+        rows = rows.repartition(*key_cols)
     sized = (
-        rows.repartition(n_shuffle, *key_cols)
-        .withColumn("bucket_n", F.count("*").over(w))
+        rows.withColumn("bucket_n", F.count("*").over(w))
         .filter(F.col("bucket_n") >= 2)
         .localCheckpoint(eager=True)
     )
@@ -217,7 +228,7 @@ def capped_pairs(
 
 
 def candidate_pairs(
-    band_rows: DataFrame, cfg: PipelineConfig
+    band_rows: DataFrame, cfg: PipelineConfig, even_exchange: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """-> (pairs, overflow_metrics).
 
@@ -229,6 +240,7 @@ def candidate_pairs(
         ["band_id", "band_hash"],
         cfg.max_band_bucket,
         cfg.band_salt_buckets,
+        even_exchange=even_exchange,
     )
 
 

@@ -86,28 +86,51 @@ class ProgressReporter:
         from collections import deque
 
         self.callbacks: list = []
-        self._events: deque[dict] = deque(maxlen=max_events)
+        self._max_events = max_events
+        self._events: deque[dict] = deque()
         self.logger = logger
         # within-phase StageProgressPoller cadence (run_pipeline reads it)
         self.poll_interval = poll_interval
         # phase_progress events arrive from the poller's daemon thread while
         # phase_start/phase_done arrive from the driver thread — serialize
         # the event log, the logger mirror, and subscriber callbacks so a
-        # single-threaded subscriber never sees interleaved events
-        self._emit_lock = threading.Lock()
+        # single-threaded subscriber never sees interleaved events.
+        # RLock: a subscriber callback may legally re-enter the reporter
+        # (emit a derived event, read .events) without self-deadlocking.
+        # Callbacks run UNDER the lock by design — fanout order is the
+        # contract — so a blocking callback stalls phase boundaries;
+        # subscribers doing slow I/O must hand off to their own queue.
+        self._emit_lock = threading.RLock()
 
     @property
     def events(self) -> list[dict]:
-        return list(self._events)
+        with self._emit_lock:
+            return list(self._events)
 
     def subscribe(self, cb) -> None:
         """cb(event: dict) — called on the driver at phase start/done."""
         self.callbacks.append(cb)
 
+    def _evict_one(self) -> None:
+        """History is full: drop the oldest ``status='progress'`` event
+        first — within-phase interpolation is ephemeral by nature, while
+        start/done/resumed records are the post-hoc audit trail a long
+        phase's ~100-event progress sweep must not flush out. Oldest
+        overall goes only when no progress event remains."""
+        for i, e in enumerate(self._events):
+            if e["status"] == "progress":
+                del self._events[i]
+                return
+        self._events.popleft()
+
     def _emit(self, event: dict) -> None:
         with self._emit_lock:
-            self._events.append(event)  # deque(maxlen) evicts the oldest
-            if self.logger is not None:
+            if len(self._events) >= self._max_events:
+                self._evict_one()
+            self._events.append(event)
+            # lifecycle lines only: a poller emits up to ~100 progress
+            # events per long phase, which would bury the ring logger
+            if self.logger is not None and event["status"] != "progress":
                 self.logger.info(
                     f"phase {event['phase']} {event['status']} "
                     f"({event['percent']}%)",
@@ -175,8 +198,11 @@ class StageProgressPoller:
     The fraction is completed/total tasks over all jobs SUBMITTED SO FAR in
     the phase's job group — the same moving-denominator interpolation the
     reference uses when a phase's group count grows as it scans
-    (phase_2.go:54): monotone within a job, may step back when a new job
-    joins the denominator; phase_done's 100% supersedes it either way."""
+    (phase_2.go:54). A new job joining the denominator makes the RAW
+    fraction step back; emission is clamped to the high-water mark so the
+    event stream (and overall ``percent``) stays monotone like any
+    progress bar — a post-dip plateau simply pauses events until the
+    fraction re-crosses the mark. phase_done's 100% supersedes it."""
 
     def __init__(
         self,
@@ -235,13 +261,13 @@ class StageProgressPoller:
         return done_tasks / total_tasks
 
     def _run(self) -> None:
-        last = -1.0
+        last = 0.0  # high-water mark: emitted fractions never step back
         while not self._stop.wait(self._interval):
             frac = self._fraction()
             # endpoints are phase_start/phase_done's job, not the poller's
             if frac is None or frac >= 1.0 or frac <= 0.0:
                 continue
-            if abs(frac - last) >= 0.01:
+            if frac - last >= 0.01:
                 last = frac
                 self._reporter.phase_progress(
                     self._phase, self._index, self._total, frac

@@ -46,7 +46,13 @@ def parquet_snapshot_id(path: str) -> str:
         st = os.stat(path)
         entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
     else:
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            # prune hidden dirs (_temporary, .spark-staging-*): uncommitted
+            # parts under them are invisible to Spark's reader and must not
+            # perturb the snapshot id
+            dirs[:] = [
+                d for d in dirs if not (d.startswith("_") or d.startswith("."))
+            ]
             for name in files:
                 if name.startswith("_") or name.startswith("."):
                     continue

@@ -69,6 +69,11 @@ TRANSCRIPT_SCHEMA = (
 def stream_transcripts(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    """File-stream source over transcript parquet. ``path`` follows Spark's
+    file-source listing rules: a directory of FLAT parquet files, or a glob
+    over writer-produced subdirectories (``.../in/*``) — a plain directory
+    whose parquet files sit one level down (each ``df.write.parquet`` makes
+    a subdirectory) streams ZERO rows, silently."""
     reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -86,12 +91,21 @@ def _has_parts(path: str) -> bool:
     zero rows leaves _SUCCESS (and, for partitioned writes, nothing else),
     and ``spark.read.parquet`` then fails schema inference forever — the
     same hazard the dup-log readers guard against (read_dup_log), applied
-    to every state table."""
-    return any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(path)
-        for f in files
-    )
+    to every state table.
+
+    Hidden entries (``_temporary``, ``.spark-staging-*``, dot-files) are
+    pruned exactly as Spark's own reader prunes them: a batch killed MID
+    write leaves only uncommitted parts under ``_temporary/``, and counting
+    those would send the replay into a ``spark.read.parquet`` that lists
+    zero visible files and fails schema inference on every trigger."""
+    for _root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
+            return True
+    return False
 
 
 def _migrate_legacy_state(spark: SparkSession, state_data: str) -> None:
@@ -366,6 +380,7 @@ def _simhash_batch_fn(
         cfg.simhash_hamming,
         max_bucket=cfg.max_band_bucket,
         n_salt=cfg.band_salt_buckets,
+        even_exchange=False,  # micro-batch: let AQE coalesce-to-few
     )
     # overflow markers carry an explicit flag column so log consumers
     # never mistake a counter row for a pair (they also keep the
@@ -567,7 +582,9 @@ def _lsh_batch_fn(
         .localCheckpoint(eager=True)  # self-join + state join + state write
     )
 
-    cands, overflow = candidate_pairs(bands, cfg)
+    cands, overflow = candidate_pairs(
+        bands, cfg, even_exchange=False  # micro-batch: AQE coalesce-to-few
+    )
     intra = verify_jaccard(cands, feats, cfg.jaccard_tau).withColumn(
         "is_overflow", F.lit(False)
     )

@@ -77,7 +77,11 @@ def main() -> int:
     t = generate_transcripts_distributed(spark, args.n_convs)
     for b in range(args.batches):
         lo = f"conv{b * per:09d}"
-        hi = f"conv{(b + 1) * per:09d}"
+        # last file takes the n_convs % batches remainder — dropping it
+        # would stream fewer convs than n_turns counts, inflating
+        # turns_per_sec and skipping tail convs' planted pairs
+        hi_conv = (b + 1) * per if b < args.batches - 1 else args.n_convs
+        hi = f"conv{hi_conv:09d}"
         (t.filter((t.conv_id >= lo) & (t.conv_id < hi))
          .coalesce(1).write.parquet(os.path.join(inp, f"b{b:02d}.parquet")))
     n_turns = t.count()

@@ -93,6 +93,31 @@ def test_stage_progress_poller_emits_fractional_percent(spark):
         assert 25.0 < e["percent"] < 50.0
 
 
+def test_reporter_history_evicts_progress_before_lifecycle():
+    """A long phase's ~100-event within-phase sweep must not flush the
+    start/done audit trail out of the bounded history: when full, the
+    oldest status='progress' event goes first. The ring-logger mirror
+    carries lifecycle lines only for the same reason."""
+
+    class Log:
+        def __init__(self):
+            self.lines = []
+
+        def info(self, msg, **kw):
+            self.lines.append(msg)
+
+    log = Log()
+    rep = ProgressReporter(max_events=4, logger=log)
+    rep.phase_start("p", 1, 2)
+    for i in range(1, 7):
+        rep.phase_progress("p", 1, 2, i / 10)
+    rep.phase_done("p", 1, 2, {"rows": 1, "seconds": 0.1})
+    statuses = [e["status"] for e in rep.events]
+    assert statuses == ["start", "progress", "progress", "done"]
+    assert [e["within_phase_percent"] for e in rep.events[1:3]] == [50.0, 60.0]
+    assert len(log.lines) == 2  # progress events skip the logger mirror
+
+
 def test_stage_progress_poller_excludes_prior_runs_jobs(spark):
     """The status tracker is session-global and job groups are named by
     phase, so a SECOND run_pipeline in the same session would inherit the

@@ -713,6 +713,45 @@ def test_zero_row_state_write_does_not_wedge_stream(spark, tmp_path):
     _dedup_batch(good, 1, dd, dp)  # must not raise
 
 
+def test_uncommitted_staging_parts_do_not_wedge_stream(spark, tmp_path):
+    """A batch KILLED mid state-write (process death, not exception) leaves
+    only uncommitted part files under hidden dirs (_temporary /
+    .spark-staging-*) that Spark's reader ignores. _has_parts must prune
+    hidden entries exactly like the reader does — counting them sends the
+    replay into a spark.read.parquet that lists zero visible files and
+    fails schema inference on every subsequent trigger."""
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _dedup_batch,
+        _has_parts,
+    )
+
+    # unit: hidden dirs/files never count; visible parts do
+    d = tmp_path / "probe"
+    (d / "_temporary" / "0" / "t0").mkdir(parents=True)
+    (d / "_temporary" / "0" / "t0" / "part-00000.parquet").write_bytes(b"x")
+    (d / ".spark-staging-abc").mkdir()
+    (d / ".spark-staging-abc" / "part-00001.parquet").write_bytes(b"x")
+    (d / ".hidden.parquet").write_bytes(b"x")
+    (d / "_SUCCESS").write_bytes(b"")
+    assert not _has_parts(str(d))
+    (d / "epoch_id=0").mkdir()
+    (d / "epoch_id=0" / "part-00000.parquet").write_bytes(b"x")
+    assert _has_parts(str(d))
+
+    # end-to-end: epoch 0 died mid-write leaving ONLY staging leftovers;
+    # the next batch must treat that as NO state and run clean
+    base = " ".join(f"w{i}" for i in range(120))
+    good = spark.createDataFrame(
+        _one_turn_rows({"g1": base, "g2": base}), _TRANSCRIPT_SCHEMA
+    )
+    dd, dp = str(tmp_path / "d_state"), str(tmp_path / "d_dups")
+    staging = os.path.join(dd, "data", "_temporary", "0", "task")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    _dedup_batch(good, 1, dd, dp)  # must not raise
+
+
 def test_overflow_markers_flagged(spark, tmp_path):
     """ADVICE round-3: marker rows are explicit (`is_overflow = true`), so
     a consumer aggregating the log can filter without knowing the
