@@ -37,6 +37,16 @@ cascade incremental without reprocessing history:
   the common incremental case. (Prefix pruning saturates at
   N_STATE_PREFIXES partitions for very large batches; the band-state
   join is the Iceberg MERGE / storage-partitioned-join seam at scale.)
+* ``run_incremental_clusters`` — closes the pairs -> CLUSTERS loop
+  incrementally: a stream of duplicate pairs (any leg's output) maintains
+  cluster labels without re-running global connected components per batch.
+  State is an epoch-append-only union-find — a ``base`` table (label at
+  first sight, partitioned by (epoch_id, conv prefix)) plus a ``merges``
+  log (old root -> new root, partitioned by (epoch_id, label prefix), a
+  DAG strictly decreasing in label order). Each batch runs the existing
+  connected_components operator over only the TOUCHED subgraph (new pairs
+  + one conv->current-root edge per known conv); current labels are the
+  DAG closure over base, compressed by path-doubling at read time.
 * ``sessionize`` — event-time session windows (``F.session_window``) with a
   watermark for late data. The same expression works on a batch DataFrame
   (all sessions emitted) and on a stream (sessions emitted as the watermark
@@ -765,3 +775,300 @@ def read_lsh_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
         "is_overflow",
         F.coalesce(F.col("is_overflow"), F.col("conv_id_a") == "_overflow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental clustering: duplicate-pair stream -> cluster labels
+# ---------------------------------------------------------------------------
+
+PAIR_STREAM_SCHEMA = "conv_id_a string, conv_id_b string, is_overflow boolean"
+
+CLUSTER_LABEL_SCHEMA = "conv_id string, label string"
+
+
+def _resolve_labels(
+    spark: SparkSession,
+    merges_data: str,
+    labels: DataFrame,
+    epoch_id: int,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Follow the merge DAG from ``labels.label`` to each current root.
+
+    Every stored merge edge pointed at the merging epoch's then-current
+    root, so a label's chase length equals the number of LATER epochs that
+    re-merged its component — short in practice. Each hop's merge-log read
+    is pruned to the mp prefixes of the labels still in flight this round
+    (same partition-filter discipline as every other state read) and
+    excludes the batch's own epoch. Label order strictly decreases along
+    every edge (roots are component minima), so the DAG is acyclic and the
+    chase terminates; ``max_rounds`` guards state corrupted into a chain
+    longer than any plausible epoch count. Compacting the log (rewriting
+    base labels through the closure and truncating merges) is the
+    Iceberg-MERGE maintenance seam at scale.
+    """
+    if not _has_parts(merges_data):
+        return labels
+    for _ in range(max_rounds):
+        obs = Observation()
+        cur = (
+            labels.withColumn(
+                "mp",
+                F.pmod(F.xxhash64("label"), F.lit(N_STATE_PREFIXES)).cast(
+                    "int"
+                ),
+            )
+            .observe(obs, F.collect_set("mp").alias("mps"))
+            .localCheckpoint(eager=True)
+        )
+        prefixes = sorted(obs.get["mps"] or [])
+        if not prefixes:
+            return cur.drop("mp")
+        step = (
+            spark.read.parquet(merges_data)
+            .filter(F.col("epoch_id") != F.lit(epoch_id))
+            .filter(F.col("mp").isin(prefixes))
+            .select(F.col("label_from").alias("label"), "label_to")
+        )
+        hop = Observation()
+        remapped = (
+            cur.drop("mp")
+            .join(step, "label", "left")
+            .observe(
+                hop,
+                F.sum(F.col("label_to").isNotNull().cast("long")).alias(
+                    "hits"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = remapped.select(
+            "conv_id", F.coalesce("label_to", "label").alias("label")
+        )
+        if not int(hop.get["hits"] or 0):
+            return labels
+    raise RuntimeError(
+        f"cluster merge-chain resolution did not converge in {max_rounds} "
+        "rounds — the merge log's chase depth exceeds any plausible epoch "
+        "count; compact the cluster state"
+    )
+
+
+def _clusters_batch(
+    batch: DataFrame, epoch_id: int, base_dir: str, merges_dir: str
+) -> None:
+    """One micro-batch of duplicate PAIRS -> incrementally-maintained
+    cluster labels, without re-running global connected components.
+
+    State is an epoch-append-only union-find:
+
+    * ``base`` (conv_id, label, epoch_id, cp) — each conv's label at FIRST
+      sight (the component minimum at that time), partitioned by
+      (epoch_id, conv-id prefix);
+    * ``merges`` (label_from, label_to, epoch_id, mp) — one edge per
+      component whose minimum dropped when batches connected it to a
+      smaller id, partitioned by (epoch_id, label_from prefix). Edges
+      always point old-root -> new-root, so current labels are the merge
+      DAG's closure over base labels.
+
+    Per batch: resolve the touched convs' current roots (prefix-pruned
+    reads), run the EXISTING connected_components operator over just the
+    touched subgraph — the batch's pairs plus one (conv -> current root)
+    edge per known conv, so each current root stands in for its entire
+    membership and merging relabels every member transitively — then
+    append base rows for first-seen convs and merge edges for dethroned
+    roots.
+
+    Replay contract identical to the other legs (_dedup_batch): every
+    state read excludes the batch's own epoch and both writes
+    dynamic-overwrite exactly their own epoch partitions, so an
+    at-least-once re-run (including a crash between the two writes)
+    recomputes byte-identical rows from the same prior state.
+    """
+    from fast_duplicate_finder_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    spark = batch.sparkSession
+    pairs = batch
+    if "is_overflow" in pairs.columns:
+        pairs = pairs.filter(~F.coalesce(F.col("is_overflow"), F.lit(False)))
+    pairs = (
+        pairs.select("conv_id_a", "conv_id_b")
+        .filter(~F.col("conv_id_a").startswith("_"))  # marker convention
+        .filter(F.col("conv_id_a") != F.col("conv_id_b"))
+        .distinct()
+    )
+    obs = Observation()
+    ids = (
+        pairs.select(F.col("conv_id_a").alias("conv_id"))
+        .union(pairs.select(F.col("conv_id_b")))
+        .distinct()
+        .withColumn(
+            "cp",
+            F.pmod(F.xxhash64("conv_id"), F.lit(N_STATE_PREFIXES)).cast(
+                "int"
+            ),
+        )
+        .observe(
+            obs,
+            F.collect_set("cp").alias("cps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=True)  # prefix list + known split + CC input
+    )
+    if not int(obs.get["n"] or 0):
+        return  # marker-only/empty batch: nothing to write
+    base_data = os.path.join(base_dir, "data")
+    merges_data = os.path.join(merges_dir, "data")
+    known = None
+    if _has_parts(base_data):
+        prefixes = sorted(obs.get["cps"])
+        known = (
+            spark.read.parquet(base_data)
+            .filter(F.col("epoch_id") != F.lit(epoch_id))
+            .filter(F.col("cp").isin(prefixes))
+            .select("conv_id", "label")
+            .join(ids.select("conv_id"), "conv_id")
+        )
+        known = _resolve_labels(
+            spark, merges_data, known, epoch_id
+        ).localCheckpoint(eager=True)  # edges + merge rows + anti-join
+    edges = pairs
+    if known is not None:
+        edges = edges.unionByName(
+            known.filter(F.col("conv_id") != F.col("label")).select(
+                F.col("conv_id").alias("conv_id_a"),
+                F.col("label").alias("conv_id_b"),
+            )
+        )
+    comp = connected_components(edges)  # (conv_id, component=min id)
+    new_ids = (
+        ids.join(known.select("conv_id"), "conv_id", "left_anti")
+        if known is not None
+        else ids
+    )
+    base_new = new_ids.join(comp, "conv_id").select(
+        "conv_id", F.col("component").alias("label"), "cp"
+    )
+    base_new.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "epoch_id", "cp"
+    ).parquet(base_data)
+    if known is not None:
+        merges_new = (
+            known.select(F.col("label").alias("label_from"))
+            .distinct()
+            .join(
+                comp.select(
+                    F.col("conv_id").alias("label_from"),
+                    F.col("component").alias("label_to"),
+                ),
+                "label_from",
+            )
+            .filter(F.col("label_from") != F.col("label_to"))
+            .withColumn(
+                "mp",
+                F.pmod(F.xxhash64("label_from"), F.lit(N_STATE_PREFIXES)).cast(
+                    "int"
+                ),
+            )
+        )
+        merges_new.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "epoch_id", "mp"
+        ).parquet(merges_data)
+
+
+def run_incremental_clusters(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with ``available_now`` run to completion) the incremental
+    clustering stream over a feed of duplicate pairs — any other leg's
+    pair output re-published as flat parquet files of
+    ``(conv_id_a, conv_id_b[, is_overflow])`` (marker rows and ``_``-prefixed
+    ids are skipped). ``input_path`` follows the stream_transcripts listing
+    rules (flat files or a glob). Returns the StreamingQuery; read results
+    with read_cluster_labels."""
+    base_dir = os.path.join(work_dir, "base")
+    merges_dir = os.path.join(work_dir, "merges")
+    ckpt = os.path.join(work_dir, "_stream_checkpoint")
+    os.makedirs(base_dir, exist_ok=True)
+    os.makedirs(merges_dir, exist_ok=True)
+    reader = spark.readStream.schema(PAIR_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, eid: _clusters_batch(df, eid, base_dir, merges_dir)
+    ).option("checkpointLocation", ckpt)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _compressed_merge_map(
+    spark: SparkSession, merges_data: str, max_rounds: int = 20
+) -> DataFrame | None:
+    """(label_from -> current root) for every label that ever lost a merge:
+    path-doubling over the whole merge DAG — both join sides compress each
+    round, so chase depth halves per round and ``max_rounds=20`` covers
+    chains ~10^6 deep. Small table (one row per dethroned root), big
+    ``base`` joins it exactly once in read_cluster_labels."""
+    if not _has_parts(merges_data):
+        return None
+    m = spark.read.parquet(merges_data).select("label_from", "label_to")
+    for _ in range(max_rounds):
+        hop = Observation()
+        nxt = (
+            m.join(
+                m.select(
+                    F.col("label_from").alias("label_to"),
+                    F.col("label_to").alias("_next"),
+                ),
+                "label_to",
+                "left",
+            )
+            .observe(
+                hop,
+                F.sum(F.col("_next").isNotNull().cast("long")).alias("hits"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        m = nxt.select(
+            "label_from", F.coalesce("_next", "label_to").alias("label_to")
+        )
+        if not int(hop.get["hits"] or 0):
+            return m
+    raise RuntimeError(
+        f"merge-map compression did not converge in {max_rounds} doubling "
+        "rounds — compact the cluster state"
+    )
+
+
+def read_cluster_labels(spark: SparkSession, work_dir: str) -> DataFrame:
+    """(conv_id, label) for every conv that ever appeared in a pair; label
+    is the component's minimum conv_id — exactly connected_components'
+    output over the union of all pair batches streamed so far. (Read
+    between triggers, like the other read_* utilities: a half-written
+    epoch is excluded by the NEXT batch's reads, not by this one.)"""
+    base_data = os.path.join(work_dir, "base", "data")
+    if not _has_parts(base_data):
+        return spark.createDataFrame([], CLUSTER_LABEL_SCHEMA)
+    labels = spark.read.parquet(base_data).select("conv_id", "label")
+    m = _compressed_merge_map(
+        spark, os.path.join(work_dir, "merges", "data")
+    )
+    if m is None:
+        return labels
+    return labels.join(
+        m.select(F.col("label_from").alias("label"), "label_to"),
+        "label",
+        "left",
+    ).select("conv_id", F.coalesce("label_to", "label").alias("label"))

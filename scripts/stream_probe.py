@@ -133,6 +133,27 @@ def main() -> int:
         }
         print(json.dumps({name: out["legs"][name]}), flush=True)
 
+    # clusters leg, chained off the LSH leg's pair log (composition: the
+    # epoch-partitioned log doubles as the next stream's file source)
+    lsh_log = os.path.join(args.work, "lsh", "lsh_pairs", "data", "epoch_id=*")
+    wd = os.path.join(args.work, "clusters")
+    t0 = time.perf_counter()
+    q = inc.run_incremental_clusters(spark, lsh_log, wd)
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    labels = inc.read_cluster_labels(spark, wd)
+    n_clusters = labels.select("label").distinct().count()
+    out["legs"]["clusters(lsh_pairs)"] = {
+        "wall_sec": round(wall, 1),
+        "pairs_per_sec": round(
+            out["legs"]["lsh"]["log_rows"] / wall, 1
+        ),
+        "labeled_convs": labels.count(),
+        "clusters": n_clusters,
+    }
+    print(json.dumps({"clusters": out["legs"]["clusters(lsh_pairs)"]}),
+          flush=True)
+
     if args.out:
         merged = {}
         if os.path.exists(args.out):

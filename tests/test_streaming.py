@@ -862,3 +862,174 @@ def test_pair_log_readers_migrate_pre_flag_epochs(spark, tmp_path):
     got = read_lsh_pair_log(spark, str(tmp_path / "lsh"))
     flags = {(r["conv_id_a"], r["is_overflow"]) for r in got.collect()}
     assert flags == {("a", False), ("_overflow", True)}
+
+
+# --- incremental clustering (pairs stream -> labels) -------------------------
+
+_PAIR_ROWS_SCHEMA = "conv_id_a string, conv_id_b string, is_overflow boolean"
+
+
+def _pair_batches_with_chains():
+    """Epoch layout exercising every structural case:
+
+    * e0: two fresh components ({w,z} root w, {x,y} root x);
+    * e1: {q,w} dethrones w (merge w->q); a pair WITHIN {x,y} (no merge);
+    * e2: {h,q} dethrones q (merge q->h, so z's base label w now chases
+      w->q->h); (b,x) dethrones x;
+    * e3: (a,h) + (a,b) union BOTH components under a — plus a marker row
+      and a repeated pair, both no-ops.
+    Final truth: one component rooted at 'a' for all of {a,b,h,q,w,x,y,z}.
+    """
+    return [
+        [("w", "z", False), ("x", "y", False)],
+        [("q", "w", False), ("x", "y", False)],
+        [("h", "q", False), ("b", "x", False)],
+        [("a", "h", False), ("a", "b", False),
+         ("_overflow", "band_7", True), ("w", "z", False)],
+    ]
+
+
+def test_incremental_clusters_match_batch_cc(spark, tmp_path):
+    """Streamed labels == connected_components over the union of all pair
+    batches, through cross-epoch merges, 3-hop merge chains, intra-component
+    no-op pairs, repeats, and marker rows."""
+    import glob
+    import shutil
+
+    from fast_duplicate_finder_spark.operators.connected_components import (
+        connected_components,
+    )
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        read_cluster_labels,
+        run_incremental_clusters,
+    )
+
+    batches = _pair_batches_with_chains()
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i, rows in enumerate(batches):
+        tmp = tmp_path / f"tmp{i}"
+        spark.createDataFrame(rows, _PAIR_ROWS_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(tmp))
+        part = glob.glob(str(tmp / "part*.parquet"))[0]
+        shutil.move(part, str(inp / f"b{i:02d}.parquet"))
+
+    wd = str(tmp_path / "clusters")
+    q = run_incremental_clusters(spark, str(inp), wd, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = {
+        (r["conv_id"], r["label"])
+        for r in read_cluster_labels(spark, wd).collect()
+    }
+    allp = spark.createDataFrame(
+        [r[:2] for b in batches for r in b if not r[2]],
+        "conv_id_a string, conv_id_b string",
+    )
+    want = {
+        (r["conv_id"], r["component"])
+        for r in connected_components(allp).collect()
+    }
+    assert got == want
+    assert {lbl for _, lbl in got} == {"a"}
+    # merge log holds exactly the dethroned roots, nothing redundant
+    merges = {
+        (r["label_from"], r["label_to"])
+        for r in spark.read.parquet(
+            os.path.join(wd, "merges", "data")
+        ).collect()
+    }
+    assert merges == {("w", "q"), ("q", "h"), ("x", "b"), ("h", "a"), ("b", "a")}
+
+
+def test_incremental_clusters_replay_idempotent(spark, tmp_path):
+    """Re-running an epoch (at-least-once foreachBatch) rewrites exactly its
+    own partitions with identical rows: state and labels unchanged."""
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _clusters_batch,
+        read_cluster_labels,
+    )
+
+    batches = _pair_batches_with_chains()
+    bd, md = str(tmp_path / "base"), str(tmp_path / "merges")
+    for i, rows in enumerate(batches):
+        _clusters_batch(
+            spark.createDataFrame(rows, _PAIR_ROWS_SCHEMA), i, bd, md
+        )
+
+    def snap():
+        base = sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(bd, "data")).collect()
+        )
+        merges = sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(md, "data")).collect()
+        )
+        return base, merges
+
+    before = snap()
+    # replay the two epochs that wrote merges, out of order
+    for i in (2, 3, 1):
+        _clusters_batch(
+            spark.createDataFrame(batches[i], _PAIR_ROWS_SCHEMA), i, bd, md
+        )
+    assert snap() == before
+    labels = {
+        (r["conv_id"], r["label"])
+        for r in read_cluster_labels(spark, str(tmp_path)).collect()
+    }
+    assert {lbl for _, lbl in labels} == {"a"}
+
+
+def test_incremental_clusters_crash_between_writes(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the leg BETWEEN the base write and the merges write, restart the
+    epoch: state and labels come out byte-identical to an uninterrupted
+    run (the same at-least-once contract the other legs pin)."""
+    import pytest as _pytest
+
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _clusters_batch,
+        read_cluster_labels,
+    )
+
+    batches = _pair_batches_with_chains()
+
+    def run(tag, crash_epoch=None):
+        root = tmp_path / tag
+        bd, md = str(root / "base"), str(root / "merges")
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, _PAIR_ROWS_SCHEMA)
+            if i == crash_epoch:
+                armed = _arm_crash_on_write(monkeypatch, f"{tag}/merges/data")
+                with _pytest.raises(RuntimeError, match="injected crash"):
+                    _clusters_batch(df, i, bd, md)  # base written, merges not
+                assert not armed["on"]
+                monkeypatch.undo()
+                _clusters_batch(df, i, bd, md)  # restart replays the epoch
+            else:
+                _clusters_batch(df, i, bd, md)
+        return root, bd, md
+
+    ref_root, rbd, rmd = run("ref")
+    got_root, gbd, gmd = run("crash", crash_epoch=2)
+
+    def rows(path):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).collect()
+        )
+
+    assert rows(os.path.join(gbd, "data")) == rows(os.path.join(rbd, "data"))
+    assert rows(os.path.join(gmd, "data")) == rows(os.path.join(rmd, "data"))
+    got = {
+        (r["conv_id"], r["label"])
+        for r in read_cluster_labels(spark, str(got_root)).collect()
+    }
+    ref = {
+        (r["conv_id"], r["label"])
+        for r in read_cluster_labels(spark, str(ref_root)).collect()
+    }
+    assert got == ref and {lbl for _, lbl in got} == {"a"}
