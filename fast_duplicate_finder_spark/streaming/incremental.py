@@ -1072,3 +1072,63 @@ def read_cluster_labels(spark: SparkSession, work_dir: str) -> DataFrame:
         "label",
         "left",
     ).select("conv_id", F.coalesce("label_to", "label").alias("label"))
+
+
+COMPACTED_EPOCH = -2  # reserved epoch for rows folded by compaction
+
+
+def compact_cluster_state(spark: SparkSession, work_dir: str) -> None:
+    """Fold the merge-DAG closure into ``base`` and truncate the merge log.
+
+    The per-batch chase follows only the merges appended SINCE each label
+    was written, but a cold read (and a long-lived stream's worst-case
+    label) walks the full history — compaction re-bases every conv on its
+    CURRENT root under reserved epoch ``COMPACTED_EPOCH`` and removes the
+    log, resetting chase depth to zero. The parquet analogue of the
+    Iceberg MERGE maintenance the docstrings above defer to.
+
+    MUST run against a QUIESCED stream whose last epoch committed cleanly:
+    a pending at-least-once replay of epoch E excludes only epoch E's own
+    partitions, and would read its crashed half-write back as prior state
+    once folded into ``COMPACTED_EPOCH``. (A committed epoch's replay
+    never happens; re-running a committed epoch by hand stays a no-op —
+    every conv resolves as known with its current root, so nothing is
+    rewritten.)
+
+    Crash-safe in the _migrate_legacy_state mold — the rewrite lands in
+    ``.compact`` (completion marked by parquet's _SUCCESS), the live table
+    is renamed ASIDE, the rewrite renamed INTO PLACE, and cleanup happens
+    last; every window leaves the old state intact or a completed rewrite
+    recoverable here. Ordering note: the merge log is removed only AFTER
+    the base swap, and a crash that leaves it behind is harmless — its
+    ``label_from`` values are dethroned roots that no longer occur as
+    labels in the compacted base, so the closure join matches nothing."""
+    import shutil
+
+    base_data = os.path.join(work_dir, "base", "data")
+    merges_data = os.path.join(work_dir, "merges", "data")
+    tmp = base_data + ".compact"
+    old = base_data + ".old"
+    if not os.path.exists(base_data):
+        # crashed between the renames iff the rewrite had completed
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.replace(tmp, base_data)
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(merges_data, ignore_errors=True)
+        return
+    shutil.rmtree(old, ignore_errors=True)  # crash before final cleanup
+    if not _has_parts(base_data):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    resolved = read_cluster_labels(spark, work_dir).withColumn(
+        "cp",
+        F.pmod(F.xxhash64("conv_id"), F.lit(N_STATE_PREFIXES)).cast("int"),
+    )
+    shutil.rmtree(tmp, ignore_errors=True)  # stale/aborted rewrite
+    resolved.withColumn("epoch_id", F.lit(COMPACTED_EPOCH)).write.mode(
+        "overwrite"
+    ).partitionBy("epoch_id", "cp").parquet(tmp)  # _SUCCESS marks completion
+    os.replace(base_data, old)
+    os.replace(tmp, base_data)
+    shutil.rmtree(merges_data, ignore_errors=True)
+    shutil.rmtree(old)

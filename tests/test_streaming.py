@@ -1033,3 +1033,86 @@ def test_incremental_clusters_crash_between_writes(
         for r in read_cluster_labels(spark, str(ref_root)).collect()
     }
     assert got == ref and {lbl for _, lbl in got} == {"a"}
+
+
+def test_compact_cluster_state(spark, tmp_path):
+    """Compaction folds the merge closure into base under reserved epoch
+    -2, truncates the merge log, preserves labels exactly — and the stream
+    continues on top: a later epoch can still dethrone a compacted root.
+    Crash-window leftovers are exercised both ways: stale merge rows left
+    by a crash before the log removal are harmless (their label_from
+    values no longer occur as base labels), and a crash between the two
+    renames (base absent, completed .compact present) is recovered on the
+    next call."""
+    from fast_duplicate_finder_spark.operators.connected_components import (
+        connected_components,
+    )
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        COMPACTED_EPOCH,
+        _clusters_batch,
+        _has_parts,
+        compact_cluster_state,
+        read_cluster_labels,
+    )
+
+    batches = _pair_batches_with_chains()
+    bd, md = str(tmp_path / "base"), str(tmp_path / "merges")
+    for i, rows in enumerate(batches):
+        _clusters_batch(
+            spark.createDataFrame(rows, _PAIR_ROWS_SCHEMA), i, bd, md
+        )
+    wd = str(tmp_path)
+
+    def labels():
+        return {
+            (r["conv_id"], r["label"])
+            for r in read_cluster_labels(spark, wd).collect()
+        }
+
+    before = labels()
+    compact_cluster_state(spark, wd)
+    assert labels() == before
+    assert not _has_parts(os.path.join(md, "data"))
+    epochs = {
+        r["epoch_id"]
+        for r in spark.read.parquet(os.path.join(bd, "data"))
+        .select("epoch_id")
+        .distinct()
+        .collect()
+    }
+    assert epochs == {COMPACTED_EPOCH}
+
+    # a crash before the log removal leaves stale merge edges behind —
+    # label_from values are dethroned roots absent from base, so the
+    # closure join must match nothing
+    stale = spark.createDataFrame(
+        [("w", "q", 2, hash("w") % 1)], "label_from string, label_to string, "
+        "epoch_id int, mp int"
+    )
+    stale.write.mode("overwrite").partitionBy("epoch_id", "mp").parquet(
+        os.path.join(md, "data")
+    )
+    assert labels() == before
+
+    # the stream continues over compacted state: epoch 4 dethrones 'a'
+    _clusters_batch(
+        spark.createDataFrame([("A", "a", False)], _PAIR_ROWS_SCHEMA),
+        4, bd, md,
+    )
+    allp = spark.createDataFrame(
+        [r[:2] for b in batches for r in b if not r[2]] + [("A", "a")],
+        "conv_id_a string, conv_id_b string",
+    )
+    want = {
+        (r["conv_id"], r["component"])
+        for r in connected_components(allp).collect()
+    }
+    assert labels() == want and {lbl for _, lbl in labels()} == {"A"}
+
+    # crash between the renames: base absent + a COMPLETE .compact
+    compact_cluster_state(spark, wd)  # clean second compaction first
+    base_data = os.path.join(bd, "data")
+    os.replace(base_data, base_data + ".compact")  # has _SUCCESS
+    compact_cluster_state(spark, wd)  # recovery path finishes the swap
+    assert labels() == want
+    assert not os.path.exists(base_data + ".compact")
