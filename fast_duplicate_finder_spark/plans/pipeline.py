@@ -91,6 +91,7 @@ def run_pipeline(
     from fast_duplicate_finder_spark.plans.logging import get_logger
     from fast_duplicate_finder_spark.plans.progress import (
         CancelToken,
+        PipelineCancelled,
         ProgressReporter,
         StageProgressPoller,
     )
@@ -114,13 +115,28 @@ def run_pipeline(
         # within-phase interpolation: enter_phase tagged this phase's jobs
         # with a job group; the poller turns their task completion into
         # fractional progress events (reference phase_2.go:54 parity)
-        with StageProgressPoller(
-            spark, progress, phase, counter["i"], n_phases,
-            interval=progress.poll_interval,
-        ):
-            out = store.get_or_compute(
-                phase, compute, lineage, resume, **write_kwargs
-            )
+        try:
+            with StageProgressPoller(
+                spark, progress, phase, counter["i"], n_phases,
+                interval=progress.poll_interval,
+            ):
+                out = store.get_or_compute(
+                    phase, compute, lineage, resume, **write_kwargs
+                )
+        except PipelineCancelled:
+            raise
+        except Exception as e:
+            # a MID-phase cancel() kills the job group, so the in-flight
+            # action raises a raw Spark job-cancelled error before the next
+            # boundary check can run — surface the cancellation the caller
+            # asked for, not the collateral. The killed phase wrote no
+            # manifest (storage.py's manifest-last ordering), so a later
+            # run recomputes it cleanly.
+            if cancel.cancelled:
+                raise PipelineCancelled(
+                    f"pipeline cancelled during phase {phase}"
+                ) from e
+            raise
         progress.phase_done(
             phase, counter["i"], n_phases,
             store.metrics[-1] if store.metrics else {},

@@ -791,25 +791,32 @@ def _resolve_labels(
     merges_data: str,
     labels: DataFrame,
     epoch_id: int,
-    max_rounds: int = 64,
+    prune_rounds: int = 4,
 ) -> DataFrame:
     """Follow the merge DAG from ``labels.label`` to each current root.
 
     Every stored merge edge pointed at the merging epoch's then-current
     root, so a label's chase length equals the number of LATER epochs that
-    re-merged its component — short in practice. Each hop's merge-log read
-    is pruned to the mp prefixes of the labels still in flight this round
-    (same partition-filter discipline as every other state read) and
-    excludes the batch's own epoch. Label order strictly decreases along
-    every edge (roots are component minima), so the DAG is acyclic and the
-    chase terminates; ``max_rounds`` guards state corrupted into a chain
-    longer than any plausible epoch count. Compacting the log (rewriting
-    base labels through the closure and truncating merges) is the
-    Iceberg-MERGE maintenance seam at scale.
+    re-merged its component. Two regimes:
+
+    * COMMON (chase depth ≤ ``prune_rounds``, i.e. recently compacted or
+      rarely re-merged): per-hop merge-log reads pruned to the mp prefixes
+      of the touched labels (the same partition-filter discipline as every
+      other state read), one hop per round;
+    * DEEP (long-lived stream, no compaction): after ``prune_rounds``
+      pruned hops, fall back to ONE full-log compressed map
+      (_compressed_merge_map: path doubling, log2(depth) rounds over the
+      small one-row-per-dethroned-root log) and join it once — resolution
+      therefore never fails on chase depth, no matter how many epochs have
+      re-merged a hot component. compact_cluster_state resets the depth
+      (and the fallback's full-log read cost) to zero.
+
+    Label order strictly decreases along every edge (roots are component
+    minima), so the DAG is acyclic and both regimes terminate.
     """
     if not _has_parts(merges_data):
         return labels
-    for _ in range(max_rounds):
+    for _ in range(prune_rounds):
         obs = Observation()
         cur = (
             labels.withColumn(
@@ -847,11 +854,17 @@ def _resolve_labels(
         )
         if not int(hop.get["hits"] or 0):
             return labels
-    raise RuntimeError(
-        f"cluster merge-chain resolution did not converge in {max_rounds} "
-        "rounds — the merge log's chase depth exceeds any plausible epoch "
-        "count; compact the cluster state"
-    )
+    # deep chain: one full-log path-doubled map resolves every label in a
+    # single join (the map sends any dethroned root to its FINAL root, so
+    # partially-advanced labels finish in one hop)
+    m = _compressed_merge_map(spark, merges_data, exclude_epoch=epoch_id)
+    if m is None:  # raced a compaction's log removal: labels are current
+        return labels
+    return labels.join(
+        m.select(F.col("label_from").alias("label"), "label_to"),
+        "label",
+        "left",
+    ).select("conv_id", F.coalesce("label_to", "label").alias("label"))
 
 
 def _clusters_batch(
@@ -1014,16 +1027,24 @@ def run_incremental_clusters(
 
 
 def _compressed_merge_map(
-    spark: SparkSession, merges_data: str, max_rounds: int = 20
+    spark: SparkSession,
+    merges_data: str,
+    max_rounds: int = 20,
+    exclude_epoch: int | None = None,
 ) -> DataFrame | None:
     """(label_from -> current root) for every label that ever lost a merge:
     path-doubling over the whole merge DAG — both join sides compress each
     round, so chase depth halves per round and ``max_rounds=20`` covers
-    chains ~10^6 deep. Small table (one row per dethroned root), big
-    ``base`` joins it exactly once in read_cluster_labels."""
+    chains ~10^6 deep. Small table (one row per dethroned root), joined
+    exactly once against ``base`` (read_cluster_labels) or a batch's known
+    labels (_resolve_labels' deep-chain fallback, which passes
+    ``exclude_epoch`` so a replayed epoch never reads its own rows)."""
     if not _has_parts(merges_data):
         return None
-    m = spark.read.parquet(merges_data).select("label_from", "label_to")
+    m = spark.read.parquet(merges_data)
+    if exclude_epoch is not None:
+        m = m.filter(F.col("epoch_id") != F.lit(exclude_epoch))
+    m = m.select("label_from", "label_to")
     for _ in range(max_rounds):
         hop = Observation()
         nxt = (

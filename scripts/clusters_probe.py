@@ -65,7 +65,10 @@ def main() -> int:
     def conv(e: int, k: int, j: int) -> str:
         return f"e{e:02d}k{k:06d}m{j:02d}"
 
-    n_pairs_epoch = args.clusters * (args.size - 1 + 1)  # chain + cross link
+    # per-epoch pairs: the chain, plus one cross link per cluster from
+    # epoch 1 on (epoch 0 has no previous epoch to union with)
+    n_pairs_epoch0 = args.clusters * (args.size - 1)
+    n_pairs_epoch = n_pairs_epoch0 + args.clusters
     for e in range(args.epochs):
         ids = spark.range(args.clusters).select(
             F.col("id").cast("int").alias("k")
@@ -141,7 +144,8 @@ def main() -> int:
         "read_labels_sec": round(read_sec, 2),
         "compact_sec": round(compact_sec, 2),
         "read_labels_after_compact_sec": round(read_after_sec, 2),
-        "n_pairs_per_epoch": n_pairs_epoch,
+        "n_pairs_epoch0": n_pairs_epoch0,
+        "n_pairs_per_later_epoch": n_pairs_epoch,
     }
     ok = n_clusters == args.clusters
     if not args.skip_verify:

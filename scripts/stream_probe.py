@@ -138,7 +138,10 @@ def main() -> int:
     lsh_log = os.path.join(args.work, "lsh", "lsh_pairs", "data", "epoch_id=*")
     wd = os.path.join(args.work, "clusters")
     t0 = time.perf_counter()
-    q = inc.run_incremental_clusters(spark, lsh_log, wd)
+    # maxFilesPerTrigger=1 like every other leg: without it availableNow
+    # folds all epochs into ONE batch over empty state, measuring batch CC
+    # instead of incremental maintenance
+    q = inc.run_incremental_clusters(spark, lsh_log, wd, max_files_per_trigger=1)
     q.awaitTermination()
     wall = time.perf_counter() - t0
     labels = inc.read_cluster_labels(spark, wd)

@@ -300,3 +300,53 @@ def test_span_longest_overflow_query_matches_oracle(spark, tmp_path):
     )
     exp = set(map(tuple, con.execute(ORACLES["span_longest_overflow"]).fetchall()))
     assert got == exp == {(3, 1, n_rep - _SPAN_TOKENS + 1)}
+
+
+def test_mid_phase_cancel_surfaces_pipeline_cancelled(
+    spark, tmp_path, monkeypatch
+):
+    """A cancel() landing MID-phase kills the job group, so the in-flight
+    action raises a raw Spark job-cancelled error before the next boundary
+    check runs; run_pipeline must convert it to PipelineCancelled (the C5
+    contract) and leave NO manifest for the killed phase, so a later run
+    recomputes it while resuming the phases completed before the cancel."""
+    import os
+
+    from fast_duplicate_finder_spark.config import PipelineConfig
+    from fast_duplicate_finder_spark.corpus import generate_transcripts
+    from fast_duplicate_finder_spark.plans.pipeline import run_pipeline
+    from fast_duplicate_finder_spark.plans.progress import (
+        CancelToken,
+        PipelineCancelled,
+    )
+    from fast_duplicate_finder_spark.storage import CheckpointStore
+
+    df = generate_transcripts(spark, n_convs=40, seed=5)
+    token = CancelToken(spark)
+    orig = CheckpointStore.get_or_compute
+
+    def interrupted(self, phase, compute, lineage, resume, **kw):
+        if phase == "p2_partial":
+            token.cancel()  # the kill and the raw error the dying job raises
+            raise RuntimeError(
+                "Job 7 cancelled part of cancelled job group p2_partial"
+            )
+        return orig(self, phase, compute, lineage, resume, **kw)
+
+    monkeypatch.setattr(CheckpointStore, "get_or_compute", interrupted)
+    ckpt = str(tmp_path / "c")
+    with pytest.raises(PipelineCancelled, match="during phase p2_partial"):
+        run_pipeline(
+            spark, df, PipelineConfig(), ckpt, with_groups=False,
+            with_near_dup=False, cancel=token,
+        )
+    assert not os.path.exists(
+        os.path.join(ckpt, "p2_partial", "_MANIFEST.json")
+    )
+    monkeypatch.undo()
+    rep = run_pipeline(
+        spark, df, PipelineConfig(), ckpt, with_groups=False,
+        with_near_dup=False,
+    )
+    resumed = {m["phase"] for m in rep.metrics if m.get("resumed")}
+    assert "p1_docs" in resumed  # pre-cancel checkpoints reused

@@ -970,7 +970,8 @@ def test_incremental_clusters_replay_idempotent(spark, tmp_path):
         return base, merges
 
     before = snap()
-    # replay the two epochs that wrote merges, out of order
+    # replay all three merge-writing epochs (e1: w->q; e2: q->h, x->b;
+    # e3: h->a, b->a), out of order
     for i in (2, 3, 1):
         _clusters_batch(
             spark.createDataFrame(batches[i], _PAIR_ROWS_SCHEMA), i, bd, md
@@ -1116,3 +1117,33 @@ def test_compact_cluster_state(spark, tmp_path):
     compact_cluster_state(spark, wd)  # recovery path finishes the swap
     assert labels() == want
     assert not os.path.exists(base_data + ".compact")
+
+
+def test_deep_merge_chain_resolves_via_compressed_fallback(spark, tmp_path):
+    """A chase deeper than _resolve_labels' pruned hops (prune_rounds=4)
+    must fall back to the path-doubled full-log map instead of wedging the
+    stream: 9 epochs each dethrone the root with a smaller conv (an 8-hop
+    chain c8->c7->...->c0), then a batch touches the chain's tail conv
+    whose base label needs the full chase."""
+    from fast_duplicate_finder_spark.streaming.incremental import (
+        _clusters_batch,
+        read_cluster_labels,
+    )
+
+    bd, md = str(tmp_path / "base"), str(tmp_path / "merges")
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(a, b, False) for a, b in rows], _PAIR_ROWS_SCHEMA
+        )
+
+    _clusters_batch(df([("c9", "c8")]), 0, bd, md)  # base: c9 -> c8
+    for i in range(1, 9):  # epoch i dethrones c{9-i} with c{8-i}
+        _clusters_batch(df([(f"c{8 - i}", f"c{9 - i}")]), i, bd, md)
+    # epoch 9: c9's base label c8 now chases 8 hops > prune_rounds
+    _clusters_batch(df([("c9", "d0")]), 9, bd, md)
+    labels = {
+        (r["conv_id"], r["label"])
+        for r in read_cluster_labels(spark, str(tmp_path)).collect()
+    }
+    assert labels == {(f"c{i}", "c0") for i in range(10)} | {("d0", "c0")}
