@@ -108,8 +108,12 @@ class ProgressReporter:
             return list(self._events)
 
     def subscribe(self, cb) -> None:
-        """cb(event: dict) — called on the driver at phase start/done."""
-        self.callbacks.append(cb)
+        """cb(event: dict) — called on the driver at phase start/done.
+        Takes the emit lock: _emit iterates ``callbacks`` under it from two
+        threads (driver + poller daemon), so a mid-run subscriber must not
+        mutate the list out from under an in-flight fanout."""
+        with self._emit_lock:
+            self.callbacks.append(cb)
 
     def _evict_one(self) -> None:
         """History is full: drop the oldest ``status='progress'`` event

@@ -95,6 +95,23 @@ N_STATE_PREFIXES = 64  # hash-prefix partitions of the state table
 LEGACY_EPOCH = -1  # reserved epoch for state migrated from the old layout
 
 
+def _require_local_fs(work_dir: str) -> None:
+    """Fail fast on a URI-shaped ``work_dir`` (hdfs://, s3a://, ...): the
+    state lifecycle here mixes Spark writes (which would work on any
+    Hadoop filesystem) with driver-local ``os.walk`` / ``os.replace`` /
+    ``shutil`` manipulation (``_has_parts``, the migration and compaction
+    rename dances) that would silently no-op or mis-detect state on a
+    remote URI. At cluster scale the state tables become Iceberg MERGE
+    targets (storage.py's table_format seam) rather than this local
+    parquet layout."""
+    if "://" in work_dir:
+        raise ValueError(
+            "streaming state work_dir must be a local filesystem path "
+            f"(got {work_dir!r}): state maintenance uses driver-local "
+            "renames; use the Iceberg table_format seam for remote storage"
+        )
+
+
 def _has_parts(path: str) -> bool:
     """True when ``path`` holds at least one parquet part file. The
     existence of the DIRECTORY is not enough: a batch whose write produced
@@ -259,6 +276,7 @@ def run_incremental_dedup(
 ):
     """Start (and with ``available_now`` run to completion) the incremental
     dedup stream. Returns the StreamingQuery."""
+    _require_local_fs(work_dir)
     state_dir = os.path.join(work_dir, "state")
     dups_dir = os.path.join(work_dir, "dups")
     ckpt = os.path.join(work_dir, "_stream_checkpoint")
@@ -496,6 +514,7 @@ def run_incremental_simhash(
     from fast_duplicate_finder_spark.config import PipelineConfig
 
     cfg = cfg or PipelineConfig()
+    _require_local_fs(work_dir)
     state_dir = os.path.join(work_dir, "sim_state")
     pairs_dir = os.path.join(work_dir, "near_pairs")
     ckpt = os.path.join(work_dir, "_simhash_stream_checkpoint")
@@ -750,6 +769,7 @@ def run_incremental_lsh(
     from fast_duplicate_finder_spark.config import PipelineConfig
 
     cfg = cfg or PipelineConfig()
+    _require_local_fs(work_dir)
     state_dir = os.path.join(work_dir, "lsh_state")
     pairs_dir = os.path.join(work_dir, "lsh_pairs")
     ckpt = os.path.join(work_dir, "_lsh_stream_checkpoint")
@@ -908,7 +928,12 @@ def _clusters_batch(
         pairs = pairs.filter(~F.coalesce(F.col("is_overflow"), F.lit(False)))
     pairs = (
         pairs.select("conv_id_a", "conv_id_b")
-        .filter(~F.col("conv_id_a").startswith("_"))  # marker convention
+        # marker convention, BOTH sides: our own legs put '_overflow' in
+        # conv_id_a, but a foreign pair feed (or a flag-null row) may order
+        # the marker second — a '_'-prefixed id must never be clustered as
+        # a real conv, let alone become a component label
+        .filter(~F.col("conv_id_a").startswith("_"))
+        .filter(~F.col("conv_id_b").startswith("_"))
         .filter(F.col("conv_id_a") != F.col("conv_id_b"))
         .distinct()
     )
@@ -1009,6 +1034,7 @@ def run_incremental_clusters(
     ids are skipped). ``input_path`` follows the stream_transcripts listing
     rules (flat files or a glob). Returns the StreamingQuery; read results
     with read_cluster_labels."""
+    _require_local_fs(work_dir)
     base_dir = os.path.join(work_dir, "base")
     merges_dir = os.path.join(work_dir, "merges")
     ckpt = os.path.join(work_dir, "_stream_checkpoint")
@@ -1153,3 +1179,113 @@ def compact_cluster_state(spark: SparkSession, work_dir: str) -> None:
     os.replace(tmp, base_data)
     shutil.rmtree(merges_data, ignore_errors=True)
     shutil.rmtree(old)
+
+
+def _fold_epoch_partitions(
+    spark: SparkSession, data_path: str, partition_cols: list[str]
+) -> None:
+    """Rewrite an epoch-partitioned state table under the single reserved
+    epoch ``COMPACTED_EPOCH``, preserving every row and the secondary
+    prefix partitioning.
+
+    Why: prefix pruning bounds the BYTES each micro-batch reads, but not
+    the file/partition COUNT — every epoch's dynamic-overwrite adds one
+    ``epoch_id=K`` directory (times N_STATE_PREFIXES prefix subdirs), so a
+    long-lived stream (10^5 epochs) degrades every state read's listing
+    and planning even though the data volume is flat. Folding resets the
+    directory count to N_STATE_PREFIXES + 1 without changing a single row:
+    the per-batch readers filter ``epoch_id != current`` and
+    ``COMPACTED_EPOCH`` (-2) is never a real epoch id, so folded rows are
+    always read back as prior state. The parquet analogue of Iceberg's
+    rewrite_data_files maintenance, same as compact_cluster_state.
+
+    Crash-safe in the _migrate_legacy_state mold: the rewrite lands in
+    ``.compact`` (completion marked by parquet's _SUCCESS), the live table
+    is renamed ASIDE, the rewrite renamed INTO PLACE, cleanup last. Every
+    crash window leaves either the old table in place or a completed
+    rewrite recoverable on the next call. No-ops (without a Spark job)
+    when the table is already a single compacted epoch."""
+    import shutil
+
+    tmp = data_path + ".compact"
+    old = data_path + ".old"
+    if not os.path.exists(data_path):
+        # crashed between the renames iff the rewrite had completed
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.replace(tmp, data_path)
+            shutil.rmtree(old, ignore_errors=True)
+        return
+    shutil.rmtree(old, ignore_errors=True)  # crash before final cleanup
+    if not _has_parts(data_path):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    visible = [
+        d for d in os.listdir(data_path) if not d.startswith(("_", "."))
+    ]
+    if visible == [f"epoch_id={COMPACTED_EPOCH}"]:
+        shutil.rmtree(tmp, ignore_errors=True)  # already compacted
+        return
+    folded = (
+        spark.read.parquet(data_path)
+        .drop("epoch_id")
+        .withColumn("epoch_id", F.lit(COMPACTED_EPOCH))
+    )
+    shutil.rmtree(tmp, ignore_errors=True)  # stale/aborted rewrite
+    folded.write.mode("overwrite").partitionBy(
+        "epoch_id", *partition_cols
+    ).parquet(tmp)  # _SUCCESS marks completion
+    os.replace(data_path, old)
+    os.replace(tmp, data_path)
+    shutil.rmtree(old)
+
+
+def compact_dedup_state(spark: SparkSession, work_dir: str) -> None:
+    """Fold the exact leg's seen-hash state (``state/data``, partitioned by
+    (epoch_id, hp)) into the reserved ``COMPACTED_EPOCH``.
+
+    MUST run against a QUIESCED stream whose last epoch committed cleanly
+    (same contract as compact_cluster_state): a pending at-least-once
+    replay of epoch E excludes only epoch E's own partitions, and would
+    read its crashed half-write back as prior state once folded — for this
+    leg that means the replayed convs would join against their own hashes
+    and be logged as duplicates of themselves. Requires a local-filesystem
+    ``work_dir`` (rename dance; see _require_local_fs)."""
+    _require_local_fs(work_dir)
+    _fold_epoch_partitions(
+        spark, os.path.join(work_dir, "state", "data"), ["hp"]
+    )
+
+
+def compact_simhash_state(spark: SparkSession, work_dir: str) -> None:
+    """Fold the SimHash leg's exploded chunk-index state
+    (``sim_state/data``, partitioned by (epoch_id, cp)) into the reserved
+    ``COMPACTED_EPOCH``. Quiesce + local-FS contract as
+    compact_dedup_state; a folded half-write would hand a replayed epoch
+    its own chunks as prior state (self-pairs are filtered by the
+    ``sc != bc`` guard, but the epoch's pair set would stop being
+    byte-identical under replay)."""
+    _require_local_fs(work_dir)
+    _fold_epoch_partitions(
+        spark, os.path.join(work_dir, "sim_state", "data"), ["cp"]
+    )
+
+
+def compact_lsh_state(spark: SparkSession, work_dir: str) -> None:
+    """Fold BOTH of the LSH leg's state tables — ``lsh_state/bands/data``
+    (epoch_id, bp) and ``lsh_state/feats/data`` (epoch_id, hp) — into the
+    reserved ``COMPACTED_EPOCH``. Quiesce + local-FS contract as
+    compact_dedup_state.
+
+    Two tables, one call: each folds independently through the same
+    crash-safe rename dance, and a crash BETWEEN them (bands compacted,
+    feats not) is consistent by construction — folding changes no row, so
+    the band-state join and the named-slice feats read see exactly the
+    rows they saw before; the next call finishes the feats fold (and
+    no-ops on bands)."""
+    _require_local_fs(work_dir)
+    _fold_epoch_partitions(
+        spark, os.path.join(work_dir, "lsh_state", "bands", "data"), ["bp"]
+    )
+    _fold_epoch_partitions(
+        spark, os.path.join(work_dir, "lsh_state", "feats", "data"), ["hp"]
+    )

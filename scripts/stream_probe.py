@@ -118,6 +118,9 @@ def main() -> int:
         progress = [json.loads(str(p)) for p in q.recentProgress]
         batch_ms = [p["batchDuration"] for p in progress
                     if p.get("numInputRows", 0) > 0]
+        # non-marker rows only: overflow counter rows must not inflate
+        # log_rows (this value is also the clusters leg's pairs_per_sec
+        # numerator below)
         log = reader(spark, wd)
         n_rows = (log.filter("NOT is_overflow").count()
                   if "is_overflow" in log.columns else log.count())
