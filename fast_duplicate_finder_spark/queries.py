@@ -760,15 +760,14 @@ FROM capped a JOIN capped b ON a.ss = b.ss AND a.doc_id < b.doc_id
 GROUP BY 1, 2"""
 
 
-def _span_longest_runs(
-    c: DataFrame, with_overflow: bool = False
-) -> DataFrame | tuple[DataFrame, DataFrame]:
-    """Core of q_span_longest_run over a (doc_id, text) DataFrame —
-    factored out so tests can feed hand-planted repetition cases.
-
-    ``with_overflow=True`` additionally returns the counted overflow table
-    (doc_id, ss, occurrences) of WITHIN-DOC repetition groups dropped by
-    the occurrence cap below."""
+def _span_occ(c: DataFrame) -> DataFrame:
+    """(doc_id, pos, ss, occurrences) positional supershingle windows of a
+    (doc_id, text) DataFrame, with the per-(doc, window value) occurrence
+    count attached. The single expensive lineage both span-run queries
+    start from — callers materialize it ONCE (localCheckpoint here via
+    _span_longest_runs, the session _MATERIALIZED cache for the catalog
+    pair) and it then feeds the overflow aggregation, the boilerplate
+    bucket window AND both self-join sides."""
     W = _SPAN_TOKENS
     toks = c.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
@@ -783,8 +782,24 @@ def _span_longest_runs(
         .select(
             "doc_id", "pos", F.xxhash64(F.array_join("arr", " ")).alias("ss")
         )
-        .localCheckpoint(eager=True)  # feeds the occ window, the bucket
-    )                                 # window AND both self-join sides
+    )
+    occ_w = Window.partitionBy("doc_id", "ss")
+    return sp0.withColumn("occurrences", F.count("*").over(occ_w))
+
+
+def _span_overflow_groups(sp_occ: DataFrame) -> DataFrame:
+    """(doc_id, ss, occurrences) repetition groups dropped by the
+    occurrence cap — the counted side of the capped/counted rule."""
+    return (
+        sp_occ.filter(F.col("occurrences") > CFG.max_band_bucket)
+        .groupBy("doc_id", "ss")
+        .agg(F.max("occurrences").alias("occurrences"))
+    )
+
+
+def _span_runs_from_occ(sp_occ: DataFrame) -> DataFrame:
+    """Longest-run pairs from a (materialized) _span_occ table."""
+    W = _SPAN_TOKENS
     # Positional matches are occ_a x occ_b per repeated window value
     # WITHIN a pair, so a degenerate doc (one token repeated 10^5 times =
     # one window value at ~10^5 positions) would alone emit ~10^10 match
@@ -792,13 +807,6 @@ def _span_longest_runs(
     # capped, counted, never silent, like every other candidate leg; for
     # a dropped group the reported run is a lower bound (the pair itself
     # survives via its sub-cap window values, if any).
-    occ_w = Window.partitionBy("doc_id", "ss")
-    sp_occ = sp0.withColumn("occurrences", F.count("*").over(occ_w))
-    overflow = (
-        sp_occ.filter(F.col("occurrences") > CFG.max_band_bucket)
-        .groupBy("doc_id", "ss")
-        .agg(F.max("occurrences").alias("occurrences"))
-    )
     sp = sp_occ.filter(
         F.col("occurrences") <= CFG.max_band_bucket
     ).drop("occurrences")
@@ -836,10 +844,37 @@ def _span_longest_runs(
         .groupBy("doc_id_a", "doc_id_b", "diag", "grp")
         .agg(F.count("*").alias("run"))
     )
-    out = runs.groupBy("doc_id_a", "doc_id_b").agg(
+    return runs.groupBy("doc_id_a", "doc_id_b").agg(
         (F.max("run") + W - 1).cast("long").alias("longest_run_tokens")
     )
-    return (out, overflow) if with_overflow else out
+
+
+def _span_longest_runs(
+    c: DataFrame, with_overflow: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Core of q_span_longest_run over a (doc_id, text) DataFrame —
+    factored out so tests can feed hand-planted repetition cases.
+
+    ``with_overflow=True`` additionally returns the counted overflow table
+    (doc_id, ss, occurrences) of WITHIN-DOC repetition groups dropped by
+    the occurrence cap. (The catalog pair q_span_longest_run /
+    q_span_longest_overflow shares ONE _span_occ materialization via
+    _MATERIALIZED instead of calling this twice.)"""
+    sp_occ = _span_occ(c).localCheckpoint(eager=True)
+    out = _span_runs_from_occ(sp_occ)
+    return (out, _span_overflow_groups(sp_occ)) if with_overflow else out
+
+
+def _span_occ_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog corpus's _span_occ table, checkpointed once per
+    (session, sf_dir): q_span_longest_run and q_span_longest_overflow both
+    read it, so running both in one suite costs ONE sp_occ job instead of
+    re-executing the whole window lineage per query."""
+    return _materialized(
+        spark,
+        ("span_occ", sf_dir),
+        lambda: _span_occ(dup_corpus(spark, sf_dir)),
+    )
 
 
 def q_span_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,7 +896,7 @@ def q_span_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-token-repeated doc cannot detonate the join and the drop is never
     silent.
     """
-    return _span_longest_runs(dup_corpus(spark, sf_dir))
+    return _span_runs_from_occ(_span_occ_materialized(spark, sf_dir))
 
 
 ORACLE_SPAN_LONGEST = f"""WITH {CORPUS_CTE},
@@ -903,8 +938,10 @@ def q_span_longest_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round4_features.py::test_span_longest_run_occurrence_cap
     makes it fire. Doc-level aggregation keeps the output
     hash-representation-independent (Spark groups by xxhash64'd windows,
-    DuckDB by the window strings — per-doc counts agree, raw keys don't)."""
-    _, ovf = _span_longest_runs(dup_corpus(spark, sf_dir), with_overflow=True)
+    DuckDB by the window strings — per-doc counts agree, raw keys don't).
+    Reads the SAME _span_occ checkpoint as q_span_longest_run — the
+    overflow leg no longer re-executes the run leg's window lineage."""
+    ovf = _span_overflow_groups(_span_occ_materialized(spark, sf_dir))
     return ovf.groupBy("doc_id").agg(
         F.count("*").alias("n_overflow_groups"),
         F.max("occurrences").alias("max_occurrences"),
