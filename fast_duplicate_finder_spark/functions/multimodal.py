@@ -10,10 +10,12 @@ helpers/calculate_hash.go); this module supplies the Spark-side plumbing a
   typed metadata struct produced here;
 * Arrow-batched ``mapInPandas`` kernels (binary columns cross the Arrow
   boundary as ``bytes``) — never per-row Python UDFs;
-* the actual codec step is STUBBED (``decode_stub``): the sandbox has no
-  image/audio libraries, so decoding derives deterministic fake dimensions
-  from the byte content. Swap ``decode_stub`` for a real decoder (PIL /
-  torchaudio / pyav) in production — the batch shape, schema, and
+* the default decode step (``decode_media``) REALLY parses PNG (IHDR) and
+  JPEG (SOF frame header) container bytes in pure Python — no image
+  library needed for dimensions; payloads in neither container fall back
+  to ``decode_stub``'s deterministic fake fields (the documented
+  unknown-codec fallback). A full pixel decoder (PIL / torchaudio / pyav)
+  swaps in via the ``decoder=`` seam — batch shape, schema, and
   partitioning contract stay identical.
 """
 
@@ -22,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 META_SCHEMA = (
@@ -30,11 +32,70 @@ META_SCHEMA = (
     "n_frames int, checksum bigint"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG's IHDR chunk, or None if ``payload`` is
+    not a PNG. The spec (W3C PNG, 11.2.2) fixes IHDR as the FIRST chunk:
+    8-byte signature, 4-byte length (13), 4-byte type ``IHDR``, then
+    big-endian uint32 width and height — a 24-byte prefix read, no CRC
+    verification (dimensions, not integrity, are the contract here)."""
+    if len(payload) < 24 or not payload.startswith(_PNG_SIG):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    return (w, h) if w and h else None
+
+
+def parse_jpeg_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG's first SOF frame header, or None.
+
+    Walks the marker segments from SOI (ITU-T T.81 §B): each marker is
+    0xFF + code with optional 0xFF fill bytes; standalone markers (TEM,
+    RST0-7) have no length field; every other segment carries a big-endian
+    u16 length including itself. SOFn markers are 0xC0-0xCF minus DHT
+    (0xC4), JPG (0xC8) and DAC (0xCC); their payload is precision(1),
+    height(2), width(2). Stops (None) at SOS or EOI without a SOF, or on
+    any malformed structure — the caller treats None as unknown codec."""
+    n = len(payload)
+    if n < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        while marker == 0xFF and i < n:  # fill bytes before the code
+            marker = payload[i]
+            i += 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: scan data, no SOF seen
+            return None
+        if i + 2 > n:
+            return None
+        seglen = int.from_bytes(payload[i : i + 2], "big")
+        if seglen < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 7 > n:
+                return None
+            h = int.from_bytes(payload[i + 3 : i + 5], "big")
+            w = int.from_bytes(payload[i + 5 : i + 7], "big")
+            return (w, h) if w and h else None
+        i += seglen
+    return None
+
 
 def decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decode. A real decoder returns the same fields
-    from the container header; tests pin these exact arithmetic values so
-    the DuckDB oracle can replicate them from octet_length + byte sums.
+    """Deterministic fake decode — the documented fallback for payloads in
+    no recognized container (decode_media tries the real header parsers
+    first). Tests and the DuckDB oracle pin these exact arithmetic values
+    via octet_length + byte sums.
 
     Raises nothing here; a production decoder should raise and let the
     kernel route the row to the bad-records side output.
@@ -50,12 +111,64 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
+def decode_media(payload: bytes) -> dict:
+    """Default decoder: REAL dimensions from PNG/JPEG container bytes
+    (parse_png_header / parse_jpeg_header, n_frames = 1 for stills);
+    unknown containers fall back to decode_stub's deterministic fields.
+    n_bytes and the 64-byte header checksum are computed the same way in
+    both regimes."""
+    dims = parse_png_header(payload) or parse_jpeg_header(payload)
+    if dims is None:
+        return decode_stub(payload)
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": dims[0],
+        "height": dims[1],
+        "n_frames": 1,
+        "checksum": sum(payload[:64]) if n else 0,
+    }
+
+
+# PNG container synthesis, JVM-side: signature + IHDR(len=13) prefix,
+# 9-byte fixed tail (bit depth 8, color type 6, compression/filter/
+# interlace 0, CRC zeroed — the parser reads dimensions, not CRCs).
+_PNG_PREFIX = bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+_PNG_TAIL = bytes.fromhex("080600000000000000")
+# sum of every fixed header byte (prefix + tail): the oracle reconstructs
+# the 64-byte checksum as this constant + the width/height byte sums +
+# the first 31 body bytes (33-byte header fills the rest of the window)
+PNG_HEADER_BYTES = len(_PNG_PREFIX) + 8 + len(_PNG_TAIL)  # 33
+PNG_HEADER_FIXED_SUM = sum(_PNG_PREFIX) + sum(_PNG_TAIL)
+
+
+def _be32(col: Column) -> Column:
+    """Big-endian 4-byte binary of a non-negative integral column —
+    hex + left-pad + unhex, all JVM-side."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def png_payload_col(width: Column, height: Column, body: Column) -> Column:
+    """A real parseable PNG container as a binary COLUMN: signature + IHDR
+    with the given dimensions, ``body`` bytes riding after the header (a
+    valid-for-our-parser fixture generator, used to plant binary payloads
+    whose parsed dimensions an oracle can predict arithmetically). Entirely
+    built from JVM expressions — no Python sees the bytes."""
+    return F.concat(
+        F.lit(_PNG_PREFIX),
+        _be32(width),
+        _be32(height),
+        F.lit(_PNG_TAIL),
+        body,
+    )
+
+
 def extract_media_meta(
     df: DataFrame,
     id_col: str = "id",
     payload_col: str = "payload",
     media_type_col: str = "media_type",
-    decoder: Callable[[bytes], dict] = decode_stub,
+    decoder: Callable[[bytes], dict] = decode_media,
 ) -> DataFrame:
     """``mapInPandas`` metadata extraction over binary payloads.
 

@@ -208,23 +208,38 @@ QUALIFY rank <= {_IVF_TOPK}"""
 # ---------------------------------------------------------------------------
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload metadata extraction end to end: synthesize an opaque
-    binary column (utf-8 bytes of the document text — the corpus has no
-    native media), tag a media_type, run the Arrow-batched ``mapInPandas``
-    decode-stub kernel (functions/multimodal.py), and aggregate per media
-    type. The oracle replicates the stub's deterministic arithmetic from
-    octet_length + code-point sums (ASCII corpus: code point == byte)."""
+    """Binary-payload metadata extraction end to end. 'image' rows carry a
+    REAL PNG container (png_payload_col wraps the text bytes in a
+    signature + IHDR built from JVM expressions) whose dimensions are
+    planted from doc_id — the Arrow ``mapInPandas`` kernel must recover
+    them by actually parsing the bytes (parse_png_header). 'audio'/'video'
+    rows stay raw utf-8 text bytes — no recognized container — and
+    exercise the documented decode_stub fallback. The oracle predicts the
+    image dimensions from the same doc_id arithmetic and the stub fields
+    from octet_length + code-point sums (ASCII corpus: code point ==
+    byte), so a kernel that stopped parsing (or a fallback that stopped
+    falling back) hash-mismatches."""
     from fast_duplicate_finder_spark.functions.multimodal import (
         extract_media_meta,
+        png_payload_col,
     )
 
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    body = F.encode("text", "utf-8")
     d = _load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("media_type"),
+        F.when(
+            media_type == "image",
+            png_payload_col(
+                F.col("doc_id") % 640 + 1,
+                (F.col("doc_id") * 7) % 480 + 1,
+                body,
+            ),
+        ).otherwise(body).alias("payload"),
+        media_type.alias("media_type"),
     )
     meta = extract_media_meta(d)
     return meta.groupBy("media_type").agg(
@@ -237,20 +252,48 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_MULTIMODAL = """WITH m AS (
+def _oracle_multimodal() -> str:
+    """Image rows: 33-byte PNG header (fixed-byte sum + the 2 meaningful
+    big-endian bytes of each planted dimension) + the first 31 text bytes
+    fill the kernel's 64-byte checksum window; dimensions come from the
+    doc_id arithmetic png_payload_col planted. Non-image rows replicate
+    decode_stub."""
+    from fast_duplicate_finder_spark.functions.multimodal import (
+        PNG_HEADER_BYTES,
+        PNG_HEADER_FIXED_SUM,
+    )
+
+    return f"""WITH m AS (
   SELECT doc_id,
          ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
          octet_length(encode(text)) AS n_bytes,
+         doc_id % 640 + 1 AS pw,
+         (doc_id * 7) % 480 + 1 AS ph,
          list_sum(list_transform(regexp_extract_all(substr(text, 1, 64), '.'),
-                                 x -> unicode(x))) AS checksum
+                                 x -> unicode(x))) AS checksum,
+         list_sum(list_transform(regexp_extract_all(substr(text, 1, 31), '.'),
+                                 x -> unicode(x))) AS checksum31
   FROM documents)
 SELECT media_type, count(*)::BIGINT AS n_items,
-       sum(n_bytes)::BIGINT AS sum_bytes,
-       sum(n_bytes % 640 + 1)::BIGINT AS sum_width,
-       sum((n_bytes * 7) % 480 + 1)::BIGINT AS sum_height,
-       sum(n_bytes % 16 + 1)::BIGINT AS sum_frames,
-       sum(coalesce(checksum, 0))::BIGINT AS sum_checksum
+       sum(CASE WHEN media_type = 'image'
+                THEN n_bytes + {PNG_HEADER_BYTES} ELSE n_bytes
+           END)::BIGINT AS sum_bytes,
+       sum(CASE WHEN media_type = 'image'
+                THEN pw ELSE n_bytes % 640 + 1 END)::BIGINT AS sum_width,
+       sum(CASE WHEN media_type = 'image'
+                THEN ph ELSE (n_bytes * 7) % 480 + 1
+           END)::BIGINT AS sum_height,
+       sum(CASE WHEN media_type = 'image'
+                THEN 1 ELSE n_bytes % 16 + 1 END)::BIGINT AS sum_frames,
+       sum(CASE WHEN media_type = 'image'
+                THEN {PNG_HEADER_FIXED_SUM} + pw // 256 + pw % 256
+                     + ph // 256 + ph % 256 + coalesce(checksum31, 0)
+                ELSE coalesce(checksum, 0)
+           END)::BIGINT AS sum_checksum
 FROM m GROUP BY media_type"""
+
+
+ORACLE_MULTIMODAL = _oracle_multimodal()
 
 
 # ---------------------------------------------------------------------------
