@@ -7,6 +7,11 @@ Default mode (driver contract): run the headline queries at
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "turns_per_sec": ...}
 
+``--compare REF_JSON`` mode: run the headline suite, then append a
+mechanical per-query comparison against a recorded ``BENCH_r*.json``
+(median-ratio host factor, flagged outliers, noise-band-vs-regression
+verdict) under a ``compare`` key — see ``_compare``.
+
 ``--scaling`` mode: delegates to the documented N-vs-4N protocol
 (``scripts/scaling_ladder.py`` — local-cluster executor JVMs, warm-up run
 per leg, interleaved best-of-R; results belong in BENCH/BASELINE.md).
@@ -72,7 +77,50 @@ def _count_turns(spark, sf_dir: str) -> int:
     )
 
 
-def run_headline() -> None:
+def _compare(per_query: dict[str, float], ref_path: str) -> dict:
+    """Mechanical regression call against a recorded BENCH_r*.json.
+
+    The r3<->r4 total comparison (19.8 -> 25.5 s) was only adjudicable by
+    prose uniformity arguments; this encodes that heuristic: a HOST window
+    shifts every query by a common factor, a PLAN regression is
+    query-shaped. Per query, ratio = current_best / recorded_best; the
+    MEDIAN ratio estimates the host factor; a query is flagged only when
+    its ratio exceeds the median by >35% AND it lost >0.5 s beyond the
+    host-factor prediction (sub-second queries live at the noise floor —
+    identical suites on this shared host spread 42.8-67.7 s in round 2).
+    Verdict 'noise-band' = totals may differ but uniformly; 'regression'
+    names the queries that moved on their own."""
+    import statistics
+
+    with open(ref_path) as f:
+        ref = json.load(f)
+    if "queries" not in ref and isinstance(ref.get("parsed"), dict):
+        ref = ref["parsed"]  # the driver's BENCH_r*.json wraps our line
+    ref_q = ref.get("queries", {})
+    common = sorted(set(per_query) & set(ref_q))
+    ratios = {q: round(per_query[q] / ref_q[q], 3) for q in common if ref_q[q]}
+    host_factor = round(statistics.median(ratios.values()), 3) if ratios else 1.0
+    flagged = sorted(
+        q
+        for q, r in ratios.items()
+        if r > host_factor * 1.35
+        and per_query[q] - host_factor * ref_q[q] > 0.5
+    )
+    return {
+        "ref": os.path.basename(ref_path),
+        "ref_total": ref.get("value"),
+        "per_query_ratio": ratios,
+        "host_factor_median_ratio": host_factor,
+        "flagged": flagged,
+        "only_in_current": sorted(set(per_query) - set(ref_q)),
+        "only_in_ref": sorted(set(ref_q) - set(per_query)),
+        "verdict": (
+            "regression: " + ", ".join(flagged) if flagged else "noise-band"
+        ),
+    }
+
+
+def run_headline(compare_path: str | None = None) -> None:
     from fast_duplicate_finder_spark.queries import QUERIES
     from fast_duplicate_finder_spark.session import get_spark
 
@@ -118,22 +166,21 @@ def run_headline() -> None:
     total = sum(per_query.values())
     turns = _count_turns(spark, SF_DIR)
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "runs_per_query": 2,
-                "aggregation": "best-of-passes per query",
-                "queries": per_query,
-                "passes": passes,
-                "sf": _sf_of(SF_DIR),
-                "corpus_turns": turns,
-                "turns_per_sec": round(turns / total, 1) if total else None,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "runs_per_query": 2,
+        "aggregation": "best-of-passes per query",
+        "queries": per_query,
+        "passes": passes,
+        "sf": _sf_of(SF_DIR),
+        "corpus_turns": turns,
+        "turns_per_sec": round(turns / total, 1) if total else None,
+    }
+    if compare_path:
+        out["compare"] = _compare(per_query, compare_path)
+    print(json.dumps(out))
 
 
 def _pipeline_leg(cores: int, corpus_path: str, ckpt_base: str) -> None:
@@ -281,5 +328,8 @@ if __name__ == "__main__":
                 + extra
             )
         )
+    elif "--compare" in sys.argv:
+        i = sys.argv.index("--compare")
+        run_headline(compare_path=sys.argv[i + 1])
     else:
         run_headline()

@@ -1229,6 +1229,12 @@ def _fold_epoch_partitions(
         spark.read.parquet(data_path)
         .drop("epoch_id")
         .withColumn("epoch_id", F.lit(COMPACTED_EPOCH))
+        # one task -> one part file per (epoch, prefix) directory: the
+        # point of compaction is FILE count, not just directory count —
+        # without this the fold preserves the read's task parallelism and
+        # leaves ~N_epochs small files inside each folded prefix dir. The
+        # prefix IS a hash slice, so the shuffle is even by construction.
+        .repartition("epoch_id", *partition_cols)
     )
     shutil.rmtree(tmp, ignore_errors=True)  # stale/aborted rewrite
     folded.write.mode("overwrite").partitionBy(

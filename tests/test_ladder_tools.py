@@ -108,3 +108,47 @@ def test_ladder_profile_best_run_excludes_warmup_and_picks_min():
     # NOT the chronologically-last (500.0), NOT the warm-up (150.0):
     # the fastest TIMED run across legs
     assert best["wall_sec"] == 200.0
+
+
+def test_bench_compare_noise_vs_regression(tmp_path):
+    """bench.py --compare's mechanical verdict: a uniform slowdown (host
+    window) is 'noise-band' no matter how large; a single query moving on
+    its own is flagged by name; sub-second wobble below the absolute
+    floor is never flagged."""
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    ref = {
+        "value": 20.0,
+        "queries": {"q_big": 6.0, "q_mid": 3.0, "q_small": 0.3,
+                    "q_other": 2.0, "q_more": 1.5},
+    }
+    ref_path = tmp_path / "ref.json"
+    ref_path.write_text(json.dumps(ref))
+
+    # uniform 1.4x: host-shaped, nothing flagged
+    cur = {q: t * 1.4 for q, t in ref["queries"].items()}
+    c = bench._compare(cur, str(ref_path))
+    assert c["verdict"] == "noise-band"
+    assert abs(c["host_factor_median_ratio"] - 1.4) < 0.01
+
+    # one query 3x while the rest hold: flagged by name
+    cur = dict(ref["queries"])
+    cur["q_big"] = 18.0
+    c = bench._compare(cur, str(ref_path))
+    assert c["flagged"] == ["q_big"]
+    assert c["verdict"].startswith("regression: q_big")
+
+    # sub-second query doubles (0.3 -> 0.6): under the 0.5 s floor
+    cur = dict(ref["queries"])
+    cur["q_small"] = 0.6
+    assert bench._compare(cur, str(ref_path))["verdict"] == "noise-band"
+
+    # disjoint query sets are reported, not crashed on
+    cur = {"q_new": 1.0, "q_big": 6.0, "q_mid": 3.0, "q_other": 2.0,
+           "q_more": 1.5, "q_small": 0.3}
+    c = bench._compare(cur, str(ref_path))
+    assert c["only_in_current"] == ["q_new"]
