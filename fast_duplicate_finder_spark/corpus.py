@@ -274,3 +274,132 @@ def generate_transcripts_distributed(
         .alias("tool"),
         F.timestamp_seconds(F.lit(1577836800) + i * 1000 + ti).alias("ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding corpus with planted near-neighbors at exact cosine bands
+# ---------------------------------------------------------------------------
+
+# Default planted cosine bands: one exact-dup band plus four near bands
+# spanning the interesting LSH/IVF operating range.
+EMB_BANDS: tuple[float, ...] = (0.999, 0.97, 0.95, 0.90, 0.85)
+
+
+def _gauss(h1, h2):
+    """Box-Muller from two xxhash64-derived uniforms (JVM-side columns)."""
+    scale = float(1 << 24)
+    u1 = (F.pmod(h1, F.lit(1 << 24)) + 0.5) / F.lit(scale)
+    u2 = (F.pmod(h2, F.lit(1 << 24)) + 0.5) / F.lit(scale)
+    import math
+
+    return F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2 * math.pi) * u2)
+
+
+def _unit(v):
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return F.transform(v, lambda x: x / norm)
+
+
+def generate_embeddings_distributed(
+    spark,
+    n_base: int,
+    dim: int = 64,
+    seed: int = 7,
+    bands: tuple[float, ...] = EMB_BANDS,
+    plant_every: int = 2,
+) -> "DataFrame":
+    """(vec_id bigint, embedding array<float>) with planted neighbors at
+    EXACT cosine bands — the ANN-recall ground-truth corpus.
+
+    Base vectors ``0..n_base-1`` are unit gaussians (Box-Muller over
+    xxhash64 uniforms — pure column expressions from ``spark.range``, no
+    driver loop, no UDF, same scaling story as
+    :func:`generate_transcripts_distributed`). Base ``i`` gets one planted
+    neighbor ``vec_id = n_base + i`` iff ``i % (len(bands) * plant_every)
+    < len(bands)``, at cosine ``bands[that index]`` EXACTLY (up to fp): the
+    neighbor is ``c*v + sqrt(1-c^2)*g_perp`` with the gaussian noise
+    orthogonalized against ``v`` before mixing, so the realized cosine does
+    not scatter around the target. :func:`planted_neighbors` enumerates the
+    (base, neighbor, band) truth arithmetically; probes still re-measure
+    the realized cosine from the data (fixture philosophy: truth is
+    derived, not assumed).
+    """
+    parts = max(spark.sparkContext.defaultParallelism, 8)
+
+    def h(tag: str, i, j):
+        return F.xxhash64(F.lit(seed), F.lit(tag), i, j)
+
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    base = spark.range(0, n_base, 1, parts).select(
+        F.col("id").alias("vec_id"),
+        _unit(
+            F.transform(
+                idx,
+                lambda j: _gauss(
+                    h("b1", F.col("id"), j), h("b2", F.col("id"), j)
+                ),
+            )
+        ).alias("v"),
+    )
+    period = len(bands) * plant_every
+    band_arr = F.array(*[F.lit(float(c)) for c in bands])
+    planted = base.withColumn(
+        "slot", F.pmod(F.col("vec_id"), F.lit(period))
+    ).filter(F.col("slot") < len(bands))
+    g = F.transform(
+        idx,
+        lambda j: _gauss(
+            h("n1", F.col("vec_id"), j), h("n2", F.col("vec_id"), j)
+        ),
+    )
+    dot_gv = F.aggregate(
+        F.zip_with("v", F.col("_g"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    c = F.element_at(band_arr, F.col("slot").cast("int") + 1)
+    planted = (
+        planted.withColumn("_g", g)
+        .withColumn(
+            "_gp", _unit(F.zip_with("_g", "v", lambda gi, vi: gi - dot_gv * vi))
+        )
+        .select(
+            (F.col("vec_id") + n_base).alias("vec_id"),
+            F.zip_with(
+                "v",
+                "_gp",
+                lambda vi, gi: c * vi + F.sqrt(F.lit(1.0) - c * c) * gi,
+            ).alias("v"),
+        )
+    )
+    emb = F.transform("v", lambda x: x.cast("float")).alias("embedding")
+    return base.select("vec_id", emb).unionAll(planted.select("vec_id", emb))
+
+
+def planted_neighbors(
+    spark,
+    n_base: int,
+    bands: tuple[float, ...] = EMB_BANDS,
+    plant_every: int = 2,
+) -> "DataFrame":
+    """(vec_id_a, vec_id_b, band) for every planted neighbor pair of
+    :func:`generate_embeddings_distributed` — a < b always holds (the
+    neighbor id is base + n_base)."""
+    period = len(bands) * plant_every
+    band_arr = F.array(*[F.lit(float(c)) for c in bands])
+    return (
+        spark.range(n_base)
+        .withColumn("slot", F.pmod(F.col("id"), F.lit(period)))
+        .filter(F.col("slot") < len(bands))
+        .select(
+            F.col("id").alias("vec_id_a"),
+            (F.col("id") + n_base).alias("vec_id_b"),
+            F.element_at(band_arr, F.col("slot").cast("int") + 1).alias(
+                "band"
+            ),
+        )
+    )

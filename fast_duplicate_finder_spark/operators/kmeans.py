@@ -32,16 +32,20 @@ def _sq_dist(a, b):
 
 
 def assign_cells(vectors: DataFrame, centroids: DataFrame,
-                 vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, <vec_col>, cell) — nearest centroid by squared L2, ties to
-    the lowest centroid_id. centroids: (centroid_id, centroid)."""
+                 vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+    """(vec_id, <vec_col>, cell) — the ``nprobe`` nearest centroids by
+    squared L2 (one output row each; ties to the lowest centroid_id).
+    ``nprobe=1`` is the storage assignment (a vector lives in exactly one
+    cell); ``nprobe>1`` is the QUERY-side recall knob — probing the k
+    nearest cells recovers true neighbors that fell just across a Voronoi
+    boundary. centroids: (centroid_id, centroid)."""
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "_d", _sq_dist(F.col(vec_col), F.col("centroid"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("centroid_id"))
     return (
         scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
+        .filter(F.col("_r") <= nprobe)
         .select("vec_id", vec_col, F.col("centroid_id").alias("cell"))
     )
 
@@ -109,15 +113,20 @@ def ivf_topk(
     centroids: DataFrame,
     topk: int = 5,
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF search with a trained codebook: assign both sides to cells,
-    search within the query's cell only. Returns (vec_id, rank, neighbor_id,
-    cos). The 100 TB layout writes `assign_cells(vectors)` partitioned by
-    cell once, then each query touches ~N/k candidates."""
+    search within the query's ``nprobe`` nearest cells. Returns (vec_id,
+    rank, neighbor_id, cos). The 100 TB layout writes
+    `assign_cells(vectors)` partitioned by cell once (always nprobe=1 —
+    each candidate lives in exactly one cell, so probing q-side cells
+    never double-counts a candidate), then each query touches
+    ~nprobe*N/k candidates. scripts/ann_recall_probe.py measures the
+    recall@k-vs-cost curve per nprobe."""
     cand = assign_cells(vectors, centroids, vec_col).select(
         F.col("vec_id").alias("nid"), F.col(vec_col).alias("nemb"), "cell"
     )
-    q = assign_cells(queries, centroids, vec_col).select(
+    q = assign_cells(queries, centroids, vec_col, nprobe=nprobe).select(
         F.col("vec_id").alias("qid"), F.col(vec_col).alias("qemb"), "cell"
     )
     dot = F.aggregate(

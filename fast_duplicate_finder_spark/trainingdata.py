@@ -204,6 +204,83 @@ QUALIFY rank <= {_IVF_TOPK}"""
 
 
 # ---------------------------------------------------------------------------
+# Multi-table RHP-LSH ANN (operators/ann.py) — bucketing-sensitive oracle
+# ---------------------------------------------------------------------------
+
+_ANN_TABLES = 4
+_ANN_PLANES = 8
+_ANN_MIN_COS = 0.35
+_ANN_SEED = 4321
+
+
+def q_embedding_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-neighbor pairs via multi-table random-hyperplane LSH
+    (operators/ann.rhp_ann_pairs: 4 tables x 8 planes, ONE equi self-join
+    over the exploded (table, bucket) rows) + exact cosine verify.
+
+    ``min_cos=0.35`` is deliberately inside the testdata's random-cosine
+    tail (the embeddings table has no planted near structure, max natural
+    cosine ~0.46): only ~6% of such pairs collide in any of the 4 tables,
+    so the DuckDB oracle — which replays the plane signs and bucket packing
+    bit-for-bit — verifies the BUCKETING, not just the verify filter. A
+    wrong plane order, bit weight, or table split changes the emitted set.
+    The cap is lifted for the catalog run (the oracle does not replicate
+    capping; the capped + salted path is exercised by tests/test_ann.py and
+    scripts/ann_recall_probe.py)."""
+    from fast_duplicate_finder_spark.operators.ann import rhp_ann_pairs
+
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs, _overflow = rhp_ann_pairs(
+        e,
+        n_tables=_ANN_TABLES,
+        n_planes=_ANN_PLANES,
+        min_cos=_ANN_MIN_COS,
+        dim=64,
+        max_bucket=1_000_000,
+        n_salt=1,
+        seed=_ANN_SEED,
+    )
+    return pairs.select("vec_id_a", "vec_id_b")
+
+
+def _ann_oracle() -> str:
+    """SQL replica of the multi-table bucketing: per-table packed sign bits
+    with the SAME plane literals (rhp_planes is deterministic in the seed),
+    candidates from any-table collision, exact cosine verify. DOUBLE[]
+    casts keep both engines' dot products in double accumulation."""
+    from fast_duplicate_finder_spark.operators.ann import rhp_planes
+
+    planes = rhp_planes(_ANN_TABLES, _ANN_PLANES, 64, _ANN_SEED)
+    selects = []
+    for t, table in enumerate(planes):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"[{', '.join(str(x) for x in plane)}]::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(table)
+        )
+        selects.append(
+            f"SELECT vec_id, {t} AS t, ({bits}) AS bucket FROM embeddings"
+        )
+    bk = "\n  UNION ALL ".join(selects)
+    return f"""WITH bk AS (
+  {bk}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id)
+SELECT c.vec_id_a, c.vec_id_b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+      >= {_ANN_MIN_COS}"""
+
+
+ORACLE_ANN_MULTITABLE = _ann_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Multimodal binary-payload metadata (decode step stubbed; plumbing real)
 # ---------------------------------------------------------------------------
 
@@ -463,6 +540,7 @@ TRAININGDATA_QUERIES = {
     "lang_id_confusion": q_lang_id_confusion,
     "regex_token_counts": q_regex_token_counts,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ann_multitable": q_embedding_ann_multitable,
     "multimodal_meta": q_multimodal_meta,
     "tpch_q3": q_tpch_q3,
 }
@@ -472,6 +550,7 @@ TRAININGDATA_ORACLES = {
     "lang_id_confusion": ORACLE_LANG_ID,
     "regex_token_counts": ORACLE_REGEX_TOKENS,
     "embedding_ivf_topk": ORACLE_IVF,
+    "embedding_ann_multitable": ORACLE_ANN_MULTITABLE,
     "multimodal_meta": ORACLE_MULTIMODAL,
     "tpch_q3": ORACLE_TPCH_Q3,
 }
