@@ -98,13 +98,19 @@ def _compare(per_query: dict[str, float], ref_path: str) -> dict:
         ref = ref["parsed"]  # the driver's BENCH_r*.json wraps our line
     ref_q = ref.get("queries", {})
     common = sorted(set(per_query) & set(ref_q))
+    # a recorded 0.0 (sub-millisecond query rounded away) cannot form a
+    # ratio but must not be silently exempt from regression detection
     ratios = {q: round(per_query[q] / ref_q[q], 3) for q in common if ref_q[q]}
+    zero_ref = [q for q in common if not ref_q[q]]
     host_factor = round(statistics.median(ratios.values()), 3) if ratios else 1.0
     flagged = sorted(
-        q
-        for q, r in ratios.items()
-        if r > host_factor * 1.35
-        and per_query[q] - host_factor * ref_q[q] > 0.5
+        [
+            q
+            for q, r in ratios.items()
+            if r > host_factor * 1.35
+            and per_query[q] - host_factor * ref_q[q] > 0.5
+        ]
+        + [q for q in zero_ref if per_query[q] > 0.5]
     )
     return {
         "ref": os.path.basename(ref_path),
@@ -330,6 +336,8 @@ if __name__ == "__main__":
         )
     elif "--compare" in sys.argv:
         i = sys.argv.index("--compare")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: bench.py --compare RECORDED_BENCH.json")
         run_headline(compare_path=sys.argv[i + 1])
     else:
         run_headline()

@@ -356,16 +356,26 @@ def generate_embeddings_distributed(
             h("n1", F.col("vec_id"), j), h("n2", F.col("vec_id"), j)
         ),
     )
+    c = F.element_at(band_arr, F.col("slot").cast("int") + 1)
+    # <g, v> lands in its own column BEFORE the per-element orthogonalize:
+    # a higher-order-function lambda re-evaluates its body per element, so
+    # embedding the 64-term aggregate inside the zip_with would cost
+    # O(dim^2) multiply-adds per planted row instead of O(dim).
     dot_gv = F.aggregate(
-        F.zip_with("v", F.col("_g"), lambda x, y: x * y),
+        F.zip_with("_g", "v", lambda x, y: x * y),
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    c = F.element_at(band_arr, F.col("slot").cast("int") + 1)
     planted = (
         planted.withColumn("_g", g)
+        .withColumn("_dot", dot_gv)
         .withColumn(
-            "_gp", _unit(F.zip_with("_g", "v", lambda gi, vi: gi - dot_gv * vi))
+            "_gp",
+            _unit(
+                F.zip_with(
+                    "_g", "v", lambda gi, vi: gi - F.col("_dot") * vi
+                )
+            ),
         )
         .select(
             (F.col("vec_id") + n_base).alias("vec_id"),

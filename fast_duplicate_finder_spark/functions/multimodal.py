@@ -47,7 +47,13 @@ def parse_png_header(payload: bytes) -> tuple[int, int] | None:
         return None
     w = int.from_bytes(payload[16:20], "big")
     h = int.from_bytes(payload[20:24], "big")
-    return (w, h) if w and h else None
+    # META_SCHEMA pins width/height as 32-bit signed ints; the spec caps
+    # dimensions at 2^31-1 (11.2.2), so a larger uint32 here is a corrupt
+    # or hostile header — treat as not-a-PNG rather than overflow the
+    # Arrow int cast (the kernel's raises-nothing contract).
+    if not (0 < w < 2**31 and 0 < h < 2**31):
+        return None
+    return (w, h)
 
 
 def parse_jpeg_header(payload: bytes) -> tuple[int, int] | None:

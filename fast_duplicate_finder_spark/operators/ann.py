@@ -9,7 +9,7 @@ a pair colliding in ANY of L tables is a candidate, so
 
     P[candidate] = 1 - (1 - (1 - theta/pi)^n_planes)^n_tables
 
-e.g. 8 tables x 8 planes gives 0.99 at cos 0.95 and 0.80 at cos 0.90,
+e.g. 8 tables x 8 planes gives 0.988 at cos 0.95 and 0.935 at cos 0.90,
 while still pruning random pairs (theta ~ pi/2) to ~2e-5 per pair.
 scripts/ann_recall_probe.py measures the realized recall per setting
 against the brute-force oracle on a planted-band corpus.
@@ -117,6 +117,17 @@ def rhp_ann_pairs(
     setting trades only *recall*, never precision). ``overflow`` is
     capped_pairs' (t, bucket, bucket_n) metrics frame.
     """
+    # Fail fast on a dim mismatch: zip_with against a wrong-length plane
+    # pads with nulls, nulls the dot, nulls every bucket, and the equi-join
+    # then drops ALL rows — an empty result indistinguishable from "no near
+    # neighbors". One single-row job at the entry point prevents that
+    # silent recall-0 (same take(1)-validation idiom as kmeans_fit).
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    if first is not None and first["d"] != dim:
+        raise ValueError(
+            f"rhp_ann_pairs: dim={dim} but {vec_col!r} has "
+            f"{first['d']} elements"
+        )
     planes = rhp_planes(n_tables, n_planes, dim, seed)
     rows = rhp_bucket_rows(vectors, planes, vec_col, id_col)
     cand, overflow = capped_pairs(

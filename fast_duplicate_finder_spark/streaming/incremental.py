@@ -309,6 +309,7 @@ def read_dup_log(spark: SparkSession, work_dir: str) -> DataFrame:
     seen. A duplicate-free stream writes only _SUCCESS markers (no part
     files, so no inferable schema) and before the first batch the dir
     does not exist — both mean an EMPTY log, not an error."""
+    _require_local_fs(work_dir)
     path = os.path.join(work_dir, "dups", "data")
     if not _has_parts(path):
         return spark.createDataFrame([], DUP_LOG_SCHEMA)
@@ -534,6 +535,7 @@ def read_near_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
     the empty-log contract). Reads with the explicit schema so epochs
     written before ``is_overflow`` existed still load; their flag is
     reconstructed from the marker-row convention those epochs used."""
+    _require_local_fs(work_dir)
     path = os.path.join(work_dir, "near_pairs", "data")
     if not _has_parts(path):
         return spark.createDataFrame([], NEAR_PAIR_SCHEMA)
@@ -788,6 +790,7 @@ def read_lsh_pair_log(spark: SparkSession, work_dir: str) -> DataFrame:
     """Every MinHash/LSH near-dup pair the stream has emitted (see
     read_dup_log for the empty-log contract; see read_near_pair_log for
     the pre-``is_overflow`` epoch migration-on-read)."""
+    _require_local_fs(work_dir)
     path = os.path.join(work_dir, "lsh_pairs", "data")
     if not _has_parts(path):
         return spark.createDataFrame([], LSH_PAIR_SCHEMA)
@@ -1105,6 +1108,7 @@ def read_cluster_labels(spark: SparkSession, work_dir: str) -> DataFrame:
     output over the union of all pair batches streamed so far. (Read
     between triggers, like the other read_* utilities: a half-written
     epoch is excluded by the NEXT batch's reads, not by this one.)"""
+    _require_local_fs(work_dir)
     base_data = os.path.join(work_dir, "base", "data")
     if not _has_parts(base_data):
         return spark.createDataFrame([], CLUSTER_LABEL_SCHEMA)
@@ -1152,33 +1156,27 @@ def compact_cluster_state(spark: SparkSession, work_dir: str) -> None:
     labels in the compacted base, so the closure join matches nothing."""
     import shutil
 
+    _require_local_fs(work_dir)
     base_data = os.path.join(work_dir, "base", "data")
     merges_data = os.path.join(work_dir, "merges", "data")
-    tmp = base_data + ".compact"
-    old = base_data + ".old"
-    if not os.path.exists(base_data):
-        # crashed between the renames iff the rewrite had completed
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            os.replace(tmp, base_data)
-            shutil.rmtree(old, ignore_errors=True)
-            shutil.rmtree(merges_data, ignore_errors=True)
-        return
-    shutil.rmtree(old, ignore_errors=True)  # crash before final cleanup
-    if not _has_parts(base_data):
-        shutil.rmtree(tmp, ignore_errors=True)
-        return
-    resolved = read_cluster_labels(spark, work_dir).withColumn(
-        "cp",
-        F.pmod(F.xxhash64("conv_id"), F.lit(N_STATE_PREFIXES)).cast("int"),
+
+    def write_rewrite(tmp: str) -> bool:
+        resolved = read_cluster_labels(spark, work_dir).withColumn(
+            "cp",
+            F.pmod(F.xxhash64("conv_id"), F.lit(N_STATE_PREFIXES)).cast(
+                "int"
+            ),
+        )
+        resolved.withColumn("epoch_id", F.lit(COMPACTED_EPOCH)).write.mode(
+            "overwrite"
+        ).partitionBy("epoch_id", "cp").parquet(tmp)
+        return True
+
+    _crash_safe_swap(
+        base_data,
+        write_rewrite,
+        on_complete=lambda: shutil.rmtree(merges_data, ignore_errors=True),
     )
-    shutil.rmtree(tmp, ignore_errors=True)  # stale/aborted rewrite
-    resolved.withColumn("epoch_id", F.lit(COMPACTED_EPOCH)).write.mode(
-        "overwrite"
-    ).partitionBy("epoch_id", "cp").parquet(tmp)  # _SUCCESS marks completion
-    os.replace(base_data, old)
-    os.replace(tmp, base_data)
-    shutil.rmtree(merges_data, ignore_errors=True)
-    shutil.rmtree(old)
 
 
 def _fold_epoch_partitions(
@@ -1205,6 +1203,50 @@ def _fold_epoch_partitions(
     crash window leaves either the old table in place or a completed
     rewrite recoverable on the next call. No-ops (without a Spark job)
     when the table is already a single compacted epoch."""
+
+    def write_rewrite(tmp: str) -> bool:
+        visible = [
+            d for d in os.listdir(data_path) if not d.startswith(("_", "."))
+        ]
+        if visible == [f"epoch_id={COMPACTED_EPOCH}"]:
+            return False  # already compacted
+        folded = (
+            spark.read.parquet(data_path)
+            .drop("epoch_id")
+            .withColumn("epoch_id", F.lit(COMPACTED_EPOCH))
+            # one task -> one part file per (epoch, prefix) directory: the
+            # point of compaction is FILE count, not just directory count —
+            # without this the fold preserves the read's task parallelism
+            # and leaves ~N_epochs small files inside each folded prefix
+            # dir. The prefix IS a hash slice, so the shuffle is even by
+            # construction.
+            .repartition("epoch_id", *partition_cols)
+        )
+        folded.write.mode("overwrite").partitionBy(
+            "epoch_id", *partition_cols
+        ).parquet(tmp)
+        return True
+
+    _crash_safe_swap(data_path, write_rewrite)
+
+
+def _crash_safe_swap(
+    data_path: str, write_rewrite, on_complete=None
+) -> None:
+    """The ONE crash-safe rewrite-and-swap state machine (shared by
+    _fold_epoch_partitions and compact_cluster_state — two hand-maintained
+    copies of this dance would have to keep their recovery branches in
+    lockstep).
+
+    ``write_rewrite(tmp)`` writes the replacement table into ``tmp``
+    (parquet's _SUCCESS marks completion) and may return False to abort a
+    no-op rewrite; ``on_complete`` (optional) runs once the rewrite is the
+    live table — on the normal path AND when recovering a crash between
+    the renames. Windows: a crash before the write leaves the live table
+    untouched (stale ``tmp`` without _SUCCESS is removed next call); a
+    crash between the renames leaves no live table but a COMPLETED
+    rewrite, recovered here; a crash before final cleanup leaves ``.old``
+    behind, removed next call."""
     import shutil
 
     tmp = data_path + ".compact"
@@ -1214,34 +1256,20 @@ def _fold_epoch_partitions(
         if os.path.exists(os.path.join(tmp, "_SUCCESS")):
             os.replace(tmp, data_path)
             shutil.rmtree(old, ignore_errors=True)
+            if on_complete is not None:
+                on_complete()
         return
     shutil.rmtree(old, ignore_errors=True)  # crash before final cleanup
     if not _has_parts(data_path):
         shutil.rmtree(tmp, ignore_errors=True)
         return
-    visible = [
-        d for d in os.listdir(data_path) if not d.startswith(("_", "."))
-    ]
-    if visible == [f"epoch_id={COMPACTED_EPOCH}"]:
-        shutil.rmtree(tmp, ignore_errors=True)  # already compacted
-        return
-    folded = (
-        spark.read.parquet(data_path)
-        .drop("epoch_id")
-        .withColumn("epoch_id", F.lit(COMPACTED_EPOCH))
-        # one task -> one part file per (epoch, prefix) directory: the
-        # point of compaction is FILE count, not just directory count —
-        # without this the fold preserves the read's task parallelism and
-        # leaves ~N_epochs small files inside each folded prefix dir. The
-        # prefix IS a hash slice, so the shuffle is even by construction.
-        .repartition("epoch_id", *partition_cols)
-    )
     shutil.rmtree(tmp, ignore_errors=True)  # stale/aborted rewrite
-    folded.write.mode("overwrite").partitionBy(
-        "epoch_id", *partition_cols
-    ).parquet(tmp)  # _SUCCESS marks completion
+    if not write_rewrite(tmp):
+        return
     os.replace(data_path, old)
     os.replace(tmp, data_path)
+    if on_complete is not None:
+        on_complete()
     shutil.rmtree(old)
 
 

@@ -105,6 +105,10 @@ def main() -> int:
             max_bucket=20_000,
             n_salt=8,
         )
+        # materialize ONCE inside the timed window: the recall join and the
+        # count below would otherwise each re-execute the verify join,
+        # recording ~2x the cost of one search in wall_sec
+        pairs = pairs.localCheckpoint(eager=True)
         hit = pairs.select("vec_id_a", "vec_id_b")
         rows = (
             planted.join(

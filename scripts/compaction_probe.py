@@ -123,6 +123,14 @@ def main() -> int:
     )
     inc._dedup_batch(post, args.epochs, state_dir, dups_dir)
     dup_rows_post = inc.read_dup_log(spark, args.work).count()
+    # every post_ conv is a byte-copy of a conv whose hash lives in the
+    # FOLDED state, so each must be logged as a duplicate — this is the
+    # actual check that continuation-over-compacted-state works (without
+    # it a compaction that dropped the folded hashes would still exit 0)
+    n_post = post.select("conv_id").distinct().count()
+    assert dup_rows_post - dup_rows_before == n_post, (
+        dup_rows_before, dup_rows_post, n_post,
+    )
 
     out = {
         "probe": "compaction_state_read",
