@@ -127,6 +127,11 @@ def _compare(per_query: dict[str, float], ref_path: str) -> dict:
 
 
 def run_headline(compare_path: str | None = None) -> None:
+    # validate the compare target BEFORE the 20-70 s suite runs: a typo'd
+    # path failing after the benchmark would throw the whole run away
+    if compare_path is not None:
+        with open(compare_path) as f:
+            json.load(f)
     from fast_duplicate_finder_spark.queries import QUERIES
     from fast_duplicate_finder_spark.session import get_spark
 

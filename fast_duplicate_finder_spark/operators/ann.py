@@ -9,8 +9,10 @@ a pair colliding in ANY of L tables is a candidate, so
 
     P[candidate] = 1 - (1 - (1 - theta/pi)^n_planes)^n_tables
 
-e.g. 8 tables x 8 planes gives 0.988 at cos 0.95 and 0.935 at cos 0.90,
-while still pruning random pairs (theta ~ pi/2) to ~2e-5 per pair.
+e.g. 8 tables x 8 planes gives 0.988 at cos 0.95 and 0.935 at cos 0.90
+at a random-pair (theta ~ pi/2) candidate rate of ~3e-2; doubling to 16
+planes per table cuts random pairs to ~1.2e-4 while 16 tables hold 0.96
+at cos 0.95 (the probe's measured sweet spot on the planted corpus).
 scripts/ann_recall_probe.py measures the realized recall per setting
 against the brute-force oracle on a planted-band corpus.
 
@@ -91,9 +93,27 @@ def rhp_bucket_rows(
                 1 << i
             )
         buckets.append(b)
+    # Per-row dim guard: a vector shorter/longer than the planes would
+    # zip_with to a null dot -> null bucket, never equi-join, and silently
+    # appear in zero pairs. raise_error fails the JOB on the first such row
+    # instead — a length compare per row, no extra pass (rhp_ann_pairs'
+    # take(1) check catches the all-rows-wrong case before any job runs).
+    dim = len(planes[0][0])
+    guarded = F.when(
+        F.size(vec_col) == dim, F.array(*buckets)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"rhp_bucket_rows: expected {dim}-element vectors, got "),
+                F.size(vec_col).cast("string"),
+                F.lit(" for id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
     return vectors.select(
         F.col(id_col).alias("conv_id"),
-        F.posexplode(F.array(*buckets)).alias("t", "bucket"),
+        F.posexplode(guarded).alias("t", "bucket"),
     )
 
 
@@ -117,11 +137,10 @@ def rhp_ann_pairs(
     setting trades only *recall*, never precision). ``overflow`` is
     capped_pairs' (t, bucket, bucket_n) metrics frame.
     """
-    # Fail fast on a dim mismatch: zip_with against a wrong-length plane
-    # pads with nulls, nulls the dot, nulls every bucket, and the equi-join
-    # then drops ALL rows — an empty result indistinguishable from "no near
-    # neighbors". One single-row job at the entry point prevents that
-    # silent recall-0 (same take(1)-validation idiom as kmeans_fit).
+    # Fail fast on a dim mismatch BEFORE launching any real job (same
+    # take(1)-validation idiom as kmeans_fit) — catches the common
+    # whole-corpus mistake cheaply; rhp_bucket_rows' per-row raise_error
+    # covers the minority-of-rows case (corrupt writer) mid-job.
     first = vectors.select(F.size(vec_col).alias("d")).first()
     if first is not None and first["d"] != dim:
         raise ValueError(

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import cosine
+
 
 def _sq_dist(a, b):
     return F.aggregate(
@@ -129,19 +131,11 @@ def ivf_topk(
     q = assign_cells(queries, centroids, vec_col, nprobe=nprobe).select(
         F.col("vec_id").alias("qid"), F.col(vec_col).alias("qemb"), "cell"
     )
-    dot = F.aggregate(
-        F.zip_with("qemb", "nemb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-                    F.lit(0.0), lambda acc, x: acc + x)
-    )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
         q.join(cand, "cell")
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("cos", dot / (norm(F.col("qemb")) * norm(F.col("nemb"))))
+        .withColumn("cos", cosine(F.col("qemb"), F.col("nemb")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select(

@@ -70,6 +70,13 @@ def main() -> int:
     )
     state_data = os.path.join(state_dir, "data")
 
+    # the epoch slicing below compares 6-digit zero-padded conv_id strings
+    # (generate_transcripts' format); at >= 10^6 convs the ids grow a 7th
+    # digit and lexicographic ranges silently misbucket
+    if args.epochs * args.convs_per_epoch > 10**6:
+        sys.exit("compaction_probe: epochs * convs_per_epoch must be <= 1e6 "
+                 "(6-digit conv_id slicing)")
+
     # one corpus, sliced into per-epoch batches by conv index: every epoch
     # carries fresh convs (plus the generator's planted duplicate families)
     t = generate_transcripts(
@@ -86,7 +93,7 @@ def main() -> int:
         epoch_walls.append(time.perf_counter() - w0)
     build_wall = time.perf_counter() - t0
 
-    def timed_state_read() -> float:
+    def timed_state_read() -> tuple[float, int]:
         """min wall of the per-batch pruned read shape: fresh DataFrame per
         rep (planning + file listing included, which is the point)."""
         best = float("inf")
