@@ -45,6 +45,7 @@ HEADLINE = [
     "connected_components_exact",
     "group_signature_dups",
     "embedding_ann_lsh",
+    "embedding_ann_multitable",
     "events_sessionize",
     "tpch_q1",
     "tpch_q3",
